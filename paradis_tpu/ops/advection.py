@@ -1,0 +1,114 @@
+"""Neural semi-Lagrangian advection on the sphere (the PARADIS signature op).
+
+Per layer (reference ``model/advection.py:7-175``):
+  1. down-project the latent state to ``num_vels`` channels,
+  2. enforce pole continuity (pole rows become their longitudinal mean,
+     advection.py:100-114),
+  3. compute departure points: the learned (u, v) act as displacements in a
+     per-point rotated spherical frame; transform back to geographic lat/lon
+     (advection.py:74-98) and map to pixel coordinates,
+  4. geocyclic-pad and gather-interpolate at the departure points
+     (grid_sample semantics; advection.py:141-167),
+  5. pole-fix again and up-project back to the latent width.
+
+TPU design: departure-point trig runs in float32 on the VPU; the
+interpolation is a swappable backend (XLA take_along_axis or a Pallas
+kernel); the projections are MXU matmuls in the compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from paradis_tpu.ops.blocks import GMBlock
+from paradis_tpu.ops.interp import grid_sample_interp
+from paradis_tpu.sphere.geometry import rotated_to_latlon
+from paradis_tpu.sphere.padding import geocyclic_pad
+
+
+def enforce_pole_continuity(x: jnp.ndarray) -> jnp.ndarray:
+    """Replace each pole row with its longitudinal mean (single scalar/channel)."""
+    south = jnp.mean(x[..., :1, :, :], axis=-2, keepdims=True)
+    north = jnp.mean(x[..., -1:, :, :], axis=-2, keepdims=True)
+    W = x.shape[-2]
+    south = jnp.broadcast_to(south, south.shape[:-2] + (W,) + south.shape[-1:])
+    north = jnp.broadcast_to(north, north.shape[:-2] + (W,) + north.shape[-1:])
+    return jnp.concatenate([south, x[..., 1:-1, :, :], north], axis=-3)
+
+
+def departure_pixel_coords(u, v, dt, lat_grid, lon_grid):
+    """Departure points in pixel units of the *unpadded* grid.
+
+    ``u``/``v`` are ``[B, H, W, V]`` latent velocities; ``lat_grid``/
+    ``lon_grid`` are ``[H, W]`` radians.  Returns float32 ``(pix_y, pix_x)``
+    of the same shape as ``u``.  Matches reference advection.py:131-139.
+    """
+    H, W = lat_grid.shape
+    lat_g = lat_grid.astype(jnp.float32)[None, :, :, None]
+    lon_g = lon_grid.astype(jnp.float32)[None, :, :, None]
+    lon_prime = -u.astype(jnp.float32) * dt
+    lat_prime = -v.astype(jnp.float32) * dt
+    lat_dep, lon_dep = rotated_to_latlon(lat_prime, lon_prime, lat_g, lon_g)
+
+    # jnp min/max (not python floats): the grids may be traced under jit;
+    # XLA constant-folds these when the grids are compile-time constants.
+    min_lat = jnp.min(lat_grid).astype(jnp.float32)
+    max_lat = jnp.max(lat_grid).astype(jnp.float32)
+    min_lon = jnp.min(lon_grid).astype(jnp.float32)
+    max_lon = jnp.max(lon_grid).astype(jnp.float32)
+    pix_x = (lon_dep - min_lon) / (max_lon - min_lon) * (W - 1.0)
+    pix_y = (lat_dep - min_lat) / (max_lat - min_lat) * (H - 1.0)
+    return pix_y, pix_x
+
+
+class NeuralSemiLagrangian(nn.Module):
+    """Learned semi-Lagrangian transport of the latent state."""
+
+    hidden_dim: int
+    num_vels: int
+    mesh_size: tuple[int, int]
+    down_layers: tuple = ("SepConv",)
+    down_hidden: int = 0
+    up_layers: tuple = ("CLinear",)
+    up_hidden: int = 0
+    interpolation: str = "bicubic"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                 dt: float, lat_grid: jnp.ndarray, lon_grid: jnp.ndarray) -> jnp.ndarray:
+        pad = 2 if self.interpolation == "bicubic" else 1
+
+        proj = GMBlock(
+            layers=self.down_layers,
+            input_dim=self.hidden_dim,
+            output_dim=self.num_vels,
+            hidden_dim=self.down_hidden,
+            mesh_size=self.mesh_size,
+            dtype=self.dtype,
+            name="down_projection",
+        )(hidden)
+
+        proj = enforce_pole_continuity(proj)
+
+        pix_y, pix_x = departure_pixel_coords(u, v, dt, lat_grid, lon_grid)
+
+        padded = geocyclic_pad(proj, pad)
+        out = grid_sample_interp(
+            padded, pix_y + pad, pix_x + pad, mode=self.interpolation
+        )
+
+        out = enforce_pole_continuity(out)
+
+        return GMBlock(
+            layers=self.up_layers,
+            input_dim=self.num_vels,
+            output_dim=self.hidden_dim,
+            hidden_dim=self.up_hidden,
+            mesh_size=self.mesh_size,
+            dtype=self.dtype,
+            name="up_projection",
+        )(out)

@@ -1,0 +1,102 @@
+"""Gather-interpolation at arbitrary departure points (grid_sample semantics).
+
+This is the TPU replacement for the reference's single native-kernel
+dependency, ``F.grid_sample`` (reference ``model/advection.py:161-167``,
+``align_corners=True``, modes bilinear/bicubic, ATen cubic convolution with
+a = -0.75).  Instead of normalized [-1, 1] grid coordinates we take pixel
+coordinates directly — the reference normalizes and the kernel immediately
+denormalizes, so composing the two is the identity (advection.py:144-150).
+
+The XLA path flattens the padded field's spatial dims and issues one
+``take_along_axis`` per stencil tap (4 bilinear / 16 bicubic).  Weights are
+computed in float32; accumulation is float32.  A Pallas kernel with the same
+contract lives in ``ops.interp_pallas`` for the hot path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+CUBIC_A = -0.75  # ATen's cubic convolution constant
+
+
+def _cubic_weights(t: jnp.ndarray):
+    """Cubic convolution weights for taps at offsets (-1, 0, 1, 2) from floor.
+
+    ``t`` is the fractional coordinate in [0, 1).  Uses the two-branch cubic
+    convolution kernel with A = -0.75, matching torch's bicubic exactly.
+    """
+    a = CUBIC_A
+
+    def near(x):  # |x| <= 1
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+
+    def far(x):  # 1 < |x| < 2
+        return ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a
+
+    w0 = far(t + 1.0)
+    w1 = near(t)
+    w2 = near(1.0 - t)
+    w3 = far(2.0 - t)
+    return w0, w1, w2, w3
+
+
+def _gather2d(flat_field: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
+              h: int, w: int) -> jnp.ndarray:
+    """Gather ``flat_field[b, yi*w + xi, v]`` with index clamping.
+
+    flat_field: [B, h*w, V]; yi/xi: [B, P, V] int32 → [B, P, V].
+    """
+    yi = jnp.clip(yi, 0, h - 1)
+    xi = jnp.clip(xi, 0, w - 1)
+    return jnp.take_along_axis(flat_field, yi * w + xi, axis=1)
+
+
+def grid_sample_interp(field: jnp.ndarray, pix_y: jnp.ndarray, pix_x: jnp.ndarray,
+                       mode: str = "bicubic") -> jnp.ndarray:
+    """Sample ``field`` at per-pixel departure coordinates.
+
+    Args:
+      field: padded source ``[B, Hp, Wp, V]`` (any float dtype).
+      pix_y, pix_x: sample coordinates in pixel units of ``field``,
+        shape ``[B, H, W, V]``.  Taps falling outside are index-clamped
+        (the reference's coordinates are in-bounds by construction; see
+        advection geometry analysis — clamping only guards numerics).
+      mode: "bilinear" (4-tap) or "bicubic" (16-tap cubic convolution).
+
+    Returns ``[B, H, W, V]`` in ``field.dtype``.
+    """
+    if mode not in ("bilinear", "bicubic"):
+        raise ValueError(f"mode must be bilinear|bicubic, got {mode!r}")
+    B, Hp, Wp, V = field.shape
+    _, H, W, _ = pix_y.shape
+    out_dtype = field.dtype
+
+    py = pix_y.astype(jnp.float32).reshape(B, H * W, V)
+    px = pix_x.astype(jnp.float32).reshape(B, H * W, V)
+    flat = field.astype(jnp.float32).reshape(B, Hp * Wp, V)
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ty = py - y0
+    tx = px - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    if mode == "bilinear":
+        wy = (1.0 - ty, ty)
+        wx = (1.0 - tx, tx)
+        y_off, x_off = (0, 1), (0, 1)
+    else:
+        wy = _cubic_weights(ty)
+        wx = _cubic_weights(tx)
+        y_off, x_off = (-1, 0, 1, 2), (-1, 0, 1, 2)
+
+    acc = jnp.zeros_like(py)
+    for iy, dy in enumerate(y_off):
+        row_w = wy[iy]
+        for ix, dx in enumerate(x_off):
+            tap = _gather2d(flat, y0 + dy, x0 + dx, Hp, Wp)
+            acc = acc + row_w * wx[ix] * tap
+
+    return acc.reshape(B, H, W, V).astype(out_dtype)
