@@ -1,0 +1,337 @@
+"""The PARADIS model: a latent advection–diffusion–reaction integrator.
+
+Architecture (reference ``model/paradis.py:31-269``):
+  input projection → static encoder → downsample → N × physics layer →
+  periodic upsample + skip → output projection, where each physics layer is
+  velocity net → semi-Lagrangian advection (gated by a learned per-channel
+  ``alpha_adv``) → diffusion → reaction(hidden ⊕ static).
+
+TPU-first structure: the N identical physics layers run as a single-trace
+``flax.linen.scan`` over stacked per-layer parameters (compile once, not N
+times), optionally rematerialised (the analogue of the reference's
+``torch.utils.checkpoint`` wrapping, paradis.py:62-70).  All spatial ops are
+channels-last; compute dtype is configurable (bf16 for the AMP-equivalent
+policy) with float32 parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from paradis_tpu.ops.advection import NeuralSemiLagrangian
+from paradis_tpu.ops.blocks import GMBlock, PhysicalDownsample, SepConv, get_activation
+from paradis_tpu.ops.resize import periodic_upsample
+from paradis_tpu.sphere.geometry import lonlat_grids
+from paradis_tpu.sphere.padding import geocyclic_pad
+
+EARTH_ROTATION_RATE = 7.29212e-5  # rad/s (reference model/paradis.py:13-14)
+STATIC_DIM = 128  # static-encoder output width (reference model/paradis.py:83)
+
+
+def get_scaled_timestep(dt_seconds: float) -> float:
+    """Nondimensionalize the data timestep by the Earth rotation rate."""
+    return dt_seconds * EARTH_ROTATION_RATE
+
+
+class PhysicsLayer(nn.Module):
+    """One ADR step: transport → mixing → forcing (reference paradis.py:228-254)."""
+
+    hidden_dim: int
+    num_vels: int
+    mesh_size: tuple[int, int]
+    dt: float
+    bias_channels: int = 8
+    bias_rank: int = 128
+    activation: str = "SiLU"
+    interpolation: str = "bicubic"
+    velocity_layers: tuple = ("CLinear", "SepConv")
+    velocity_hidden: Any = 384
+    diffusion_layers: tuple = ("SepConv",)
+    diffusion_hidden: Any = 0
+    reaction_layers: tuple = ("CLinear", "CLinear", "CLinear", "CLinear")
+    reaction_hidden: Any = 896
+    adv_down_layers: tuple = ("SepConv",)
+    adv_down_hidden: Any = 0
+    adv_up_layers: tuple = ("CLinear",)
+    adv_up_hidden: Any = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, hidden_static, lat_grid, lon_grid):
+        # carry/out contract for nn.scan
+        velocities = GMBlock(
+            layers=self.velocity_layers,
+            input_dim=self.hidden_dim,
+            output_dim=2 * self.num_vels,
+            hidden_dim=self.velocity_hidden,
+            mesh_size=self.mesh_size,
+            bias_channels=self.bias_channels,
+            bias_rank=self.bias_rank,
+            activation_fn=self.activation,
+            pre_normalize=True,
+            dtype=self.dtype,
+            name="velocity_net",
+        )(hidden)
+        u = velocities[..., : self.num_vels]
+        v = velocities[..., self.num_vels :]
+
+        alpha_adv = self.param(
+            "alpha_adv", nn.initializers.constant(-1.0), (self.hidden_dim,), jnp.float32
+        )
+        g_adv = nn.sigmoid(alpha_adv).astype(hidden.dtype)
+
+        advected = NeuralSemiLagrangian(
+            hidden_dim=self.hidden_dim,
+            num_vels=self.num_vels,
+            mesh_size=self.mesh_size,
+            down_layers=self.adv_down_layers,
+            down_hidden=self.adv_down_hidden,
+            up_layers=self.adv_up_layers,
+            up_hidden=self.adv_up_hidden,
+            interpolation=self.interpolation,
+            dtype=self.dtype,
+            name="advection",
+        )(hidden, u, v, self.dt, lat_grid, lon_grid)
+        hidden = hidden + g_adv * (advected - hidden)
+
+        hidden = hidden + GMBlock(
+            layers=self.diffusion_layers,
+            input_dim=self.hidden_dim,
+            output_dim=self.hidden_dim,
+            hidden_dim=self.diffusion_hidden,
+            mesh_size=self.mesh_size,
+            pre_normalize=True,
+            bias_channels=self.bias_channels,
+            bias_rank=self.bias_rank,
+            activation_fn=self.activation,
+            dtype=self.dtype,
+            name="diffusion",
+        )(hidden)
+
+        reac_in = jnp.concatenate([hidden, hidden_static], axis=-1)
+        hidden = hidden + GMBlock(
+            layers=self.reaction_layers,
+            input_dim=self.hidden_dim + hidden_static.shape[-1],
+            output_dim=self.hidden_dim,
+            hidden_dim=self.reaction_hidden,
+            mesh_size=self.mesh_size,
+            pre_normalize=True,
+            bias_channels=self.bias_channels,
+            bias_rank=self.bias_rank,
+            activation_fn=self.activation,
+            dtype=self.dtype,
+            name="reaction",
+        )(reac_in)
+
+        return hidden, None
+
+
+class Paradis(nn.Module):
+    """Full PARADIS forward model over ``[B, nlat, nlon, C_in]`` fields."""
+
+    input_dim: int
+    output_dim: int
+    n_static: int
+    lat_deg: tuple      # 1-D latitude in degrees (static, hashable)
+    lon_deg: tuple      # 1-D longitude in degrees
+    hidden_dim: int = 1024
+    num_vels: int = 768
+    num_layers: int = 8
+    base_dt: float = 21600.0
+    bias_channels: int = 8
+    bias_rank: int = 128
+    activation: str = "SiLU"
+    interpolation: str = "bicubic"
+    coarsening_factor: int = 1
+    gradient_checkpointing: bool = False
+    input_layers: tuple = ("CLinear",)
+    input_hidden: Any = 0
+    output_layers: tuple = ("CLinear", "CLinear", "CLinear")
+    output_hidden: Any = 768
+    velocity_layers: tuple = ("CLinear", "SepConv")
+    velocity_hidden: Any = 384
+    diffusion_layers: tuple = ("SepConv",)
+    diffusion_hidden: Any = 0
+    reaction_layers: tuple = ("CLinear", "CLinear", "CLinear", "CLinear")
+    reaction_hidden: Any = 896
+    adv_down_layers: tuple = ("SepConv",)
+    adv_down_hidden: Any = 0
+    adv_up_layers: tuple = ("CLinear",)
+    adv_up_hidden: Any = 0
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg, *, input_dim: int, output_dim: int,
+                    lat_deg, lon_deg, dtype=None) -> "Paradis":
+        """Build from a paradis_tpu Config (schema of paradis_settings.yaml)."""
+        pb = cfg.model.physblock
+        if dtype is None:
+            dtype = jnp.bfloat16 if cfg.compute.use_amp else jnp.float32
+        return cls(
+            input_dim=input_dim,
+            output_dim=output_dim,
+            n_static=len(cfg.features.input.constants),
+            lat_deg=tuple(float(v) for v in np.asarray(lat_deg)),
+            lon_deg=tuple(float(v) for v in np.asarray(lon_deg)),
+            hidden_dim=cfg.model.latent_size,
+            num_vels=cfg.model.velocity_vectors,
+            num_layers=max(1, cfg.model.num_layers),
+            base_dt=float(cfg.model.base_dt),
+            bias_channels=cfg.model.get("bias_channels", 4),
+            bias_rank=cfg.model.get("bias_rank", 128),
+            activation=cfg.model.activation,
+            interpolation=cfg.model.adv_interpolation,
+            coarsening_factor=cfg.model.get("coarsening_factor", 1),
+            gradient_checkpointing=cfg.compute.get("gradient_checkpointing", False),
+            input_layers=tuple(pb.input_proj.layers),
+            input_hidden=pb.input_proj.hidden_dim,
+            output_layers=tuple(pb.output_proj.layers),
+            output_hidden=pb.output_proj.hidden_dim,
+            velocity_layers=tuple(pb.velocity_net.layers),
+            velocity_hidden=pb.velocity_net.hidden_dim,
+            diffusion_layers=tuple(pb.diffusion.layers),
+            diffusion_hidden=pb.diffusion.hidden_dim,
+            reaction_layers=tuple(pb.reaction.layers),
+            reaction_hidden=pb.reaction.hidden_dim,
+            adv_down_layers=tuple(pb.advection.down_projection.layers),
+            adv_down_hidden=pb.advection.down_projection.hidden_dim,
+            adv_up_layers=tuple(pb.advection.up_projection.layers),
+            adv_up_hidden=pb.advection.up_projection.hidden_dim,
+            dtype=dtype,
+        )
+
+    @property
+    def mesh_size(self) -> tuple[int, int]:
+        return (len(self.lat_deg), len(self.lon_deg))
+
+    @property
+    def mesh_size_coarse(self) -> tuple[int, int]:
+        s = self.coarsening_factor
+        H, W = self.mesh_size
+        return ((H - 1) // s + 1, W // s)
+
+    def _coarse_grids(self):
+        s = self.coarsening_factor
+        lat = np.deg2rad(np.asarray(self.lat_deg, np.float64))[::s]
+        lon = np.deg2rad(np.asarray(self.lon_deg, np.float64))[::s]
+        latg, long_ = lonlat_grids(lat, lon)
+        return jnp.asarray(latg, jnp.float32), jnp.asarray(long_, jnp.float32)
+
+    @nn.compact
+    def __call__(self, fields: jnp.ndarray) -> jnp.ndarray:
+        H, W = self.mesh_size
+        if fields.shape[-3] != H or fields.shape[-2] != W:
+            raise ValueError(
+                f"expected spatial dims {(H, W)}, got {fields.shape[-3:-1]}"
+            )
+        fields = fields.astype(self.dtype)
+        dt = get_scaled_timestep(self.base_dt) / self.num_layers
+        lat_grid, lon_grid = self._coarse_grids()
+
+        hidden = GMBlock(
+            layers=self.input_layers,
+            input_dim=self.input_dim,
+            output_dim=self.hidden_dim,
+            hidden_dim=self.input_hidden,
+            mesh_size=(H, W),
+            activation=True,
+            activation_fn=self.activation,
+            pre_normalize=False,
+            bias_channels=0,
+            dtype=self.dtype,
+            name="input_proj",
+        )(fields)
+
+        hidden_static = self._static_encoder(fields[..., -self.n_static :])
+
+        skip = hidden
+        down = PhysicalDownsample(stride=self.coarsening_factor, name="downsample")
+        hidden = down(hidden)
+        hidden_static = down(hidden_static)
+
+        layer_kwargs = dict(
+            hidden_dim=self.hidden_dim,
+            num_vels=self.num_vels,
+            mesh_size=self.mesh_size_coarse,
+            dt=dt,
+            bias_channels=self.bias_channels,
+            bias_rank=self.bias_rank,
+            activation=self.activation,
+            interpolation=self.interpolation,
+            velocity_layers=self.velocity_layers,
+            velocity_hidden=self.velocity_hidden,
+            diffusion_layers=self.diffusion_layers,
+            diffusion_hidden=self.diffusion_hidden,
+            reaction_layers=self.reaction_layers,
+            reaction_hidden=self.reaction_hidden,
+            adv_down_layers=self.adv_down_layers,
+            adv_down_hidden=self.adv_down_hidden,
+            adv_up_layers=self.adv_up_layers,
+            adv_up_hidden=self.adv_up_hidden,
+            dtype=self.dtype,
+        )
+
+        layer_cls = PhysicsLayer
+        if self.gradient_checkpointing:
+            layer_cls = nn.remat(PhysicsLayer, prevent_cse=False)
+        ScannedLayers = nn.scan(
+            layer_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=self.num_layers,
+        )
+        hidden, _ = ScannedLayers(name="layers", **layer_kwargs)(
+            hidden, hidden_static, lat_grid, lon_grid
+        )
+
+        hidden = periodic_upsample(hidden, H, W) + skip
+
+        return GMBlock(
+            layers=self.output_layers,
+            input_dim=self.hidden_dim,
+            output_dim=self.output_dim,
+            hidden_dim=self.output_hidden,
+            mesh_size=(H, W),
+            activation=False,
+            activation_fn=self.activation,
+            pre_normalize=True,
+            bias_channels=self.bias_channels,
+            bias_rank=self.bias_rank,
+            dtype=self.dtype,
+            name="output_proj",
+        )(hidden)
+
+    def _static_encoder(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Orography/constants encoder (reference paradis.py:186-193).
+
+        SepConv(64, k7) → SiLU → geo-pad(3) + depthwise 7×7 → SiLU →
+        SepConv(STATIC_DIM, k5).  Uses torch-default init like the reference
+        (these convs sit outside any GMBlock, so kaiming is never applied).
+        """
+        act = get_activation("SiLU")
+        H, W = self.mesh_size
+        x = SepConv(64, kernel_size=7, init_mode="torch_default", dtype=self.dtype,
+                    name="static_sepconv1")(x)
+        x = act(x)
+        x = geocyclic_pad(x, 3)
+        x = nn.Conv(
+            features=64,
+            kernel_size=(7, 7),
+            feature_group_count=64,
+            padding="VALID",
+            use_bias=True,
+            kernel_init=nn.initializers.variance_scaling(
+                1.0 / 3.0, mode="fan_in", distribution="uniform"
+            ),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="static_depthwise",
+        )(x)
+        x = act(x)
+        return SepConv(STATIC_DIM, kernel_size=5, init_mode="torch_default",
+                       dtype=self.dtype, name="static_sepconv2")(x)

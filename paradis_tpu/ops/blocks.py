@@ -47,6 +47,16 @@ def torch_linear_default_init():
     return nn.initializers.variance_scaling(1.0 / 3.0, mode="fan_in", distribution="uniform")
 
 
+def _fanin_bias(_unused, fan_in: int):
+    """Torch default bias init U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for a given fan-in."""
+    bound = 1.0 / float(np.sqrt(fan_in))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Activation registry (reference ``model/paradis.py:17-28``)."""
     table = {
@@ -65,15 +75,20 @@ class CLinear(nn.Module):
     output_dim: int
     use_bias: bool = True
     kernel_scale: float = 1.0
+    init_mode: str = "kaiming"  # "kaiming" (GMBlock members) | "torch_default"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.init_mode == "kaiming":
+            kinit, binit = kaiming_normal_init(self.kernel_scale), nn.initializers.zeros
+        else:
+            kinit = binit = torch_linear_default_init()
         return nn.Dense(
             self.output_dim,
             use_bias=self.use_bias,
-            kernel_init=kaiming_normal_init(self.kernel_scale),
-            bias_init=nn.initializers.zeros,
+            kernel_init=kinit,
+            bias_init=_fanin_bias(binit, x.shape[-1]) if self.init_mode != "kaiming" else binit,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv",
@@ -87,12 +102,20 @@ class SepConv(nn.Module):
     kernel_size: int = 3
     use_bias: bool = True
     kernel_scale: float = 1.0  # applied to the pointwise (last) conv only
+    init_mode: str = "kaiming"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = (self.kernel_size - 1) // 2
         cin = x.shape[-1]
+        if self.init_mode == "kaiming":
+            dw_init = kaiming_normal_init(1.0)
+            pw_init = kaiming_normal_init(self.kernel_scale)
+            pw_bias = nn.initializers.zeros
+        else:
+            dw_init = pw_init = torch_linear_default_init()
+            pw_bias = _fanin_bias(None, cin)
         x = geocyclic_pad(x, pad)
         x = nn.Conv(
             features=cin,
@@ -100,7 +123,7 @@ class SepConv(nn.Module):
             feature_group_count=cin,
             use_bias=False,
             padding="VALID",
-            kernel_init=kaiming_normal_init(1.0),
+            kernel_init=dw_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="depthwise",
@@ -108,8 +131,8 @@ class SepConv(nn.Module):
         return nn.Dense(
             self.output_dim,
             use_bias=self.use_bias,
-            kernel_init=kaiming_normal_init(self.kernel_scale),
-            bias_init=nn.initializers.zeros,
+            kernel_init=pw_init,
+            bias_init=pw_bias,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="pointwise",

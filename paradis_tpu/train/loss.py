@@ -1,0 +1,149 @@
+"""Weighted forecast losses: MSE, reversed Huber, AMSE (spectral).
+
+Weighting scheme (reference ``utils/loss.py:7-282``):
+  * per-variable weights from config,
+  * pressure-level weights ``max(p/1000, 0.2)`` on atmospheric channels,
+  * GraphCast-style unit-mean latitude area weights.
+
+The reversed Huber is the sigmoid-blended linear/quadratic kernel of
+reference ``utils/loss.py:233-255``.  All loss math runs in float32.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from paradis_tpu.sphere.geometry import latitude_weights
+
+_LEVEL_RE = re.compile(r"_h\d+$")
+
+
+def strip_level(name: str) -> str:
+    """'geopotential_h500' → 'geopotential' (reference utils/loss.py:211)."""
+    return _LEVEL_RE.sub("", name)
+
+
+def pressure_weights(levels_hpa: np.ndarray) -> np.ndarray:
+    """``max(p/1000, 0.2)`` per level (reference utils/loss.py:199-201)."""
+    p = np.asarray(levels_hpa, np.float32) / 1000.0
+    return np.where(p > 0.2, p, 0.2).astype(np.float32)
+
+
+def build_variable_weights(cfg, output_name_order: list[str]) -> np.ndarray:
+    """Per-output-channel variable weights from config, in output order.
+
+    Raises if any output feature has no configured weight
+    (reference ``trainer.py:150-171``).
+    """
+    table = {}
+    table.update(cfg.training.variable_loss_weights.atmospheric)
+    table.update(cfg.training.variable_loss_weights.surface)
+    out = np.zeros(len(output_name_order), np.float32)
+    for i, feat in enumerate(output_name_order):
+        base = strip_level(feat)
+        if base not in table:
+            raise ValueError(
+                f"No loss weight configured for output feature {feat!r} "
+                f"(base variable {base!r})."
+            )
+        out[i] = float(table[base])
+    return out
+
+
+def reversed_huber(pred: jnp.ndarray, target: jnp.ndarray, delta: float = 1.0) -> jnp.ndarray:
+    """Smooth reversed Huber: linear for small errors, quadratic for large.
+
+    Blend weight is ``sigmoid(2 (|e| - δ))`` (reference utils/loss.py:233-255).
+    """
+    error = pred - target
+    abs_error = jnp.abs(error)
+    small = delta * abs_error
+    large = (error * error + delta * delta) / (2.0 * delta)
+    w = 1.0 / (1.0 + jnp.exp(-2.0 * (abs_error - delta)))
+    return (1.0 - w) * small + w * large
+
+
+@dataclass(frozen=True)
+class WeightedLoss:
+    """Feature- and latitude-weighted pointwise loss over [B, H, W, C] fields."""
+
+    kind: str                      # "mse" | "reversed_huber" | "amse"
+    feature_weights: np.ndarray    # [C]
+    lat_weights: Optional[np.ndarray] = None  # [H] or None
+    delta: float = 1.0
+    amse: Optional[object] = None  # AMSELoss instance when kind == "amse"
+
+    @classmethod
+    def from_config(cls, cfg, lat_deg: np.ndarray, output_name_order: list[str],
+                    kind: Optional[str] = None) -> "WeightedLoss":
+        kind = kind or cfg.training.loss_function.type
+        levels = np.asarray(cfg.features.pressure_levels, np.float32)
+        n_levels = len(levels)
+        n_surface = len(cfg.features.output.surface)
+        n_out = len(output_name_order)
+        n_atmo = n_out - n_surface
+
+        var_w = build_variable_weights(cfg, output_name_order)
+        fw = var_w.copy()
+        pw = pressure_weights(levels)
+        # atmospheric channels come in [var × level] blocks of n_levels
+        for i in range(0, n_atmo, n_levels):
+            fw[i : i + n_levels] = var_w[i : i + n_levels] * pw
+
+        lat_w = None
+        if cfg.training.loss_function.lat_weights and kind != "amse":
+            lat_w = latitude_weights(np.asarray(lat_deg, np.float64)).astype(np.float32)
+
+        amse = None
+        if kind == "amse":
+            from paradis_tpu.train.amse import AMSELoss
+
+            nlat = len(lat_deg)
+            amse = AMSELoss(nlat=nlat, nlon=2 * (nlat - 1))
+        elif kind not in ("mse", "reversed_huber"):
+            raise ValueError(
+                f"{kind} not supported, choose between [reversed_huber, mse, amse]"
+            )
+
+        return cls(
+            kind=kind,
+            feature_weights=fw,
+            lat_weights=lat_w,
+            delta=float(cfg.training.loss_function.delta_loss),
+            amse=amse,
+        )
+
+    # -- pointwise kernels ----------------------------------------------------
+
+    def _pointwise(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        pred = pred.astype(jnp.float32)
+        target = target.astype(jnp.float32)
+        if self.kind == "mse":
+            d = pred - target
+            return d * d
+        return reversed_huber(pred, target, self.delta)
+
+    def _weighted(self, loss: jnp.ndarray) -> jnp.ndarray:
+        loss = loss * jnp.asarray(self.feature_weights)
+        if self.lat_weights is not None:
+            loss = loss * jnp.asarray(self.lat_weights)[:, None, None]
+        return loss
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """Scalar weighted loss over ``[B, H, W, C]`` prediction/target."""
+        if self.kind == "amse":
+            return self.amse(pred, target, weights=jnp.asarray(self.feature_weights))
+        return jnp.mean(self._weighted(self._pointwise(pred, target)))
+
+    def per_channel(self, pred: jnp.ndarray, target: jnp.ndarray,
+                    weighted: bool = True) -> jnp.ndarray:
+        """Per-output-channel diagnostic loss ``[C]`` (reference loss.py:105-126)."""
+        loss = self._pointwise(pred, target)
+        if weighted:
+            loss = self._weighted(loss)
+        return jnp.mean(loss, axis=(0, 1, 2))

@@ -6,18 +6,23 @@ all sharding/mesh tests run against 8 virtual CPU devices, no TPU required.
 
 import os
 
-# Hard override: the shell presets JAX_PLATFORMS=axon (the real TPU tunnel);
-# unit tests must run on the virtual CPU mesh. Set PARADIS_TEST_TPU=1 to opt
-# into running the suite on the chip.
+# Hard override: the environment pins jax_platforms to "axon,cpu" (the real
+# TPU tunnel) in a way that wins over the JAX_PLATFORMS env var, so unit tests
+# must force CPU through jax.config (done below, after import). Set
+# PARADIS_TEST_TPU=1 to opt into running the suite on the chip.
 if not os.environ.get("PARADIS_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 import numpy as np
 import pytest
+
+if not os.environ.get("PARADIS_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated test runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/paradis_jax_cache")

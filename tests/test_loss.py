@@ -1,0 +1,115 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paradis_tpu.config import default_config
+from paradis_tpu.train.loss import (
+    WeightedLoss,
+    build_variable_weights,
+    pressure_weights,
+    reversed_huber,
+    strip_level,
+)
+
+
+def _cfg():
+    return default_config().resolved()
+
+
+def _names(cfg):
+    atmo = [f"{v}_h{l}" for v in cfg.features.output.atmospheric
+            for l in cfg.features.pressure_levels]
+    return atmo + list(cfg.features.output.surface)
+
+
+def test_strip_level():
+    assert strip_level("geopotential_h500") == "geopotential"
+    assert strip_level("2m_temperature") == "2m_temperature"
+
+
+def test_pressure_weights_floor():
+    w = pressure_weights(np.array([50, 100, 200, 500, 1000]))
+    np.testing.assert_allclose(w, [0.2, 0.2, 0.2, 0.5, 1.0])
+
+
+def test_variable_weights_order_and_missing():
+    cfg = _cfg()
+    names = _names(cfg)
+    w = build_variable_weights(cfg, names)
+    assert len(w) == 7 * 13 + 6  # 97 outputs
+    # vertical_velocity block gets 0.1
+    vv0 = names.index("vertical_velocity_h50")
+    assert w[vv0] == pytest.approx(0.1)
+    with pytest.raises(ValueError):
+        build_variable_weights(cfg, ["unknown_variable_h50"])
+
+
+def test_reversed_huber_matches_reference_formula():
+    torch = pytest.importorskip("torch")
+    pred = np.random.default_rng(0).normal(size=(64,), scale=3).astype(np.float32)
+    target = np.random.default_rng(1).normal(size=(64,), scale=3).astype(np.float32)
+    delta = 1.0
+    ours = np.asarray(reversed_huber(jnp.asarray(pred), jnp.asarray(target), delta))
+
+    p, t = torch.from_numpy(pred), torch.from_numpy(target)
+    error = p - t
+    abs_error = torch.abs(error)
+    small = delta * abs_error
+    large = (error**2 + delta**2) / (2 * delta)
+    w = 1 / (1 + torch.exp(-2 * (abs_error - delta)))
+    ref = ((1 - w) * small + w * large).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_reversed_huber_regimes():
+    # the sigmoid blend leaves a small floor at zero error:
+    # w(0)=sigmoid(-2δ), loss(0) = w(0)·δ/2
+    floor = float(reversed_huber(jnp.asarray([0.0]), jnp.asarray([0.0]), 1.0)[0])
+    assert floor == pytest.approx(0.5 / (1 + np.exp(2.0)), rel=1e-4)
+    # large errors ≈ quadratic (e²+δ²)/2δ
+    big = float(reversed_huber(jnp.asarray([10.0]), jnp.asarray([0.0]), 1.0)[0])
+    assert big == pytest.approx((100 + 1) / 2, rel=0.01)
+    # in the small-error regime the slope is ≈ linear in |e|
+    a = float(reversed_huber(jnp.asarray([0.3]), jnp.asarray([0.0]), 1.0)[0])
+    b = float(reversed_huber(jnp.asarray([0.4]), jnp.asarray([0.0]), 1.0)[0])
+    assert (b - a) == pytest.approx(0.1, rel=0.5)
+
+
+def test_weighted_loss_end_to_end():
+    cfg = _cfg()
+    names = _names(cfg)
+    lat = np.linspace(-87.1875, 87.1875, 32)
+    loss = WeightedLoss.from_config(cfg, lat, names)
+    rng = np.random.default_rng(2)
+    pred = jnp.asarray(rng.normal(size=(2, 32, 64, 97)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(2, 32, 64, 97)), jnp.float32)
+    val = float(loss(pred, tgt))
+    assert np.isfinite(val) and val > 0
+    # zero error → the reversed-huber analytic floor, uniformly weighted
+    floor = 0.5 / (1 + np.exp(2.0))
+    expected0 = floor * float(np.mean(loss.feature_weights))  # lat weights are unit-mean
+    assert float(loss(tgt, tgt)) == pytest.approx(expected0, rel=1e-3)
+    pc = np.asarray(loss.per_channel(pred, tgt))
+    assert pc.shape == (97,)
+    # manual reduction equals scalar path
+    assert float(loss(pred, tgt)) == pytest.approx(float(pc.mean()), rel=1e-5)
+
+
+def test_mse_kind():
+    cfg = _cfg()
+    cfg.training.loss_function.type = "mse"
+    cfg.training.loss_function.lat_weights = False
+    names = _names(cfg)
+    lat = np.linspace(-87.1875, 87.1875, 32)
+    loss = WeightedLoss.from_config(cfg, lat, names)
+    pred = jnp.ones((1, 32, 64, 97), jnp.float32)
+    tgt = jnp.zeros((1, 32, 64, 97), jnp.float32)
+    expected = float(np.mean(loss.feature_weights))
+    assert float(loss(pred, tgt)) == pytest.approx(expected, rel=1e-5)
+
+
+def test_unknown_kind_raises():
+    cfg = _cfg()
+    names = _names(cfg)
+    with pytest.raises(ValueError):
+        WeightedLoss.from_config(cfg, np.linspace(-87, 87, 32), names, kind="l1")

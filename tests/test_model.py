@@ -1,0 +1,115 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paradis_tpu.config import default_config
+from paradis_tpu.model.paradis import Paradis, get_scaled_timestep
+from paradis_tpu.sphere.geometry import equiangular_lat_lon
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_model(**kw):
+    lat, lon = equiangular_lat_lon(8, 16, include_poles=False)
+    defaults = dict(
+        input_dim=20,
+        output_dim=12,
+        n_static=5,
+        lat_deg=tuple(lat),
+        lon_deg=tuple(lon),
+        hidden_dim=16,
+        num_vels=4,
+        num_layers=2,
+        velocity_hidden=8,
+        reaction_hidden=8,
+        output_hidden=8,
+        bias_channels=2,
+        bias_rank=4,
+    )
+    defaults.update(kw)
+    return Paradis(**defaults)
+
+
+def test_scaled_timestep():
+    assert abs(get_scaled_timestep(21600.0) - 21600.0 * 7.29212e-5) < 1e-9
+
+
+def test_forward_shapes_and_param_stacking():
+    m = tiny_model()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 16, 20)), jnp.float32)
+    params = m.init(KEY, x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 8, 16, 12)
+    assert np.isfinite(np.asarray(y)).all()
+    # scanned layers: per-layer params stacked on a leading [num_layers] axis
+    layers = params["params"]["layers"]
+    assert layers["alpha_adv"].shape == (2, 16)
+    vel_k = layers["velocity_net"]["layer0_CLinear"]["conv"]["kernel"]
+    assert vel_k.shape == (2, 16, 8)
+
+
+def test_alpha_adv_initial_gate():
+    """alpha_adv init -1 → gate sigmoid(-1) ≈ 0.269 (reference paradis.py:180)."""
+    m = tiny_model()
+    x = jnp.zeros((1, 8, 16, 20), jnp.float32)
+    params = m.init(KEY, x)
+    alpha = params["params"]["layers"]["alpha_adv"]
+    np.testing.assert_allclose(np.asarray(alpha), -1.0)
+
+
+def test_remat_matches_no_remat():
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8, 16, 20)), jnp.float32)
+    m1 = tiny_model(gradient_checkpointing=False)
+    m2 = tiny_model(gradient_checkpointing=True)
+    params = m1.init(KEY, x)
+    y1 = np.asarray(m1.apply(params, x))
+    y2 = np.asarray(m2.apply(params, x))
+    np.testing.assert_allclose(y1, y2, atol=1e-5)
+
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(m2.apply(p, x) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_coarsening_factor_roundtrip():
+    lat, lon = equiangular_lat_lon(9, 16, include_poles=False)
+    m = tiny_model(lat_deg=tuple(lat), lon_deg=tuple(lon), coarsening_factor=2)
+    assert m.mesh_size_coarse == (5, 8)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 9, 16, 20)), jnp.float32)
+    params = m.init(KEY, x)
+    y = m.apply(params, x)
+    assert y.shape == (1, 9, 16, 12)
+
+
+def test_bf16_policy():
+    m = tiny_model(dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 8, 16, 20)), jnp.float32)
+    params = m.init(KEY, x)
+    assert all(p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params))
+    y = m.apply(params, x)
+    assert y.dtype == jnp.bfloat16
+
+
+def test_from_config_dims():
+    cfg = default_config().resolved()
+    cfg.model.latent_size = 16
+    cfg.model.velocity_vectors = 4
+    cfg.model.num_layers = 1
+    cfg.model.physblock.velocity_net.hidden_dim = 8
+    cfg.model.physblock.reaction.hidden_dim = 8
+    cfg.model.physblock.output_proj.hidden_dim = 8
+    lat, lon = equiangular_lat_lon(8, 16, include_poles=False)
+    m = Paradis.from_config(cfg, input_dim=186, output_dim=97, lat_deg=lat, lon_deg=lon)
+    assert m.n_static == 10
+    assert m.input_dim == 186
+    assert m.dtype == jnp.bfloat16  # use_amp default true
+    assert m.interpolation == "bicubic"
+
+
+def test_wrong_spatial_dims_raises():
+    m = tiny_model()
+    x = jnp.zeros((1, 6, 16, 20), jnp.float32)
+    with pytest.raises(ValueError):
+        m.init(KEY, x)
