@@ -208,18 +208,21 @@ class PhysicalDownsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # the reference pools even at stride 1 (a 5x5 smoothing pass)
+        # the reference pools even at stride 1 (a 5x5 smoothing pass);
+        # implemented as a depthwise ones-kernel conv — differentiable under
+        # scan (generic reduce_window is not) and just as fast through XLA
         x = geocyclic_pad(x, 2)
         s = self.stride
-        summed = jax.lax.reduce_window(
+        c = x.shape[-1]
+        kernel = jnp.full((5, 5, 1, c), 1.0 / 25.0, x.dtype)
+        return jax.lax.conv_general_dilated(
             x,
-            jnp.zeros((), x.dtype),
-            jax.lax.add,
-            window_dimensions=(1, 5, 5, 1),
-            window_strides=(1, s, s, 1),
+            kernel,
+            window_strides=(s, s),
             padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
         )
-        return summed / jnp.asarray(25.0, x.dtype)
 
 
 BLOCK_REGISTRY = {

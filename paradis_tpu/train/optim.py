@@ -1,0 +1,343 @@
+"""Optimizers and LR schedules: AdamW, Muon, NorMuon + WSD/OneCycle/plateau.
+
+Replaces the reference's dion Muon/NorMuon (Triton Newton–Schulz kernels,
+``trainer.py:337-364``) with pure-JAX orthogonalization — the NS iteration is
+five bf16 matmuls per parameter, i.e. native MXU work; no custom kernel
+required on TPU.
+
+Parameter partition mirrors reference ``build_param_groups``
+(``trainer.py:24-64``): weights of linear/conv layers (flax ``kernel`` leaves
+and the GlobalBias channel ``projection``) are orthogonalized; biases, norms,
+``alpha_adv`` and the low-rank bias factors go to AdamW.  Conv kernels are
+flattened to ``[out, fan_in]`` (the reference's ``flatten=True``).  Parameters
+stacked by ``nn.scan`` (leading layer axis, path contains "layers") are
+orthogonalized per layer via vmap.
+
+The learning rate is injected as an optax hyperparameter and written by the
+host each step (``set_learning_rate``): this single mechanism serves the WSD
+and OneCycle step schedules and the ReduceLROnPlateau controller without
+retracing the train step.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+# Quintic Newton–Schulz coefficients (Jordan et al., Muon)
+_NS_COEFFS = (3.4445, -4.7750, 2.0315)
+
+
+def newton_schulz(x: jnp.ndarray, steps: int = 5, eps: float = 1e-7) -> jnp.ndarray:
+    """Approximately orthogonalize a 2-D matrix via the quintic NS iteration.
+
+    Runs in bfloat16 (MXU) with a float32 norm, like the canonical Muon.
+    Handles tall matrices by transposing.
+    """
+    a, b, c = _NS_COEFFS
+    rows, cols = x.shape
+    transpose = rows > cols
+    if transpose:
+        x = x.T
+    y = x.astype(jnp.bfloat16)
+    y = y / (jnp.linalg.norm(x.astype(jnp.float32)) + eps).astype(jnp.bfloat16)
+    for _ in range(steps):
+        gram = y @ y.T
+        y = a * y + (b * gram + c * (gram @ gram)) @ y
+    if transpose:
+        y = y.T
+    return y.astype(x.dtype)
+
+
+def _flatten_to_2d(x: jnp.ndarray) -> tuple[jnp.ndarray, tuple]:
+    """[..., out] → [out, fan_in] (dion's flatten=True layout)."""
+    shape = x.shape
+    out = shape[-1]
+    return x.reshape(-1, out).T, shape
+
+
+def _orthogonalized_update(g: jnp.ndarray, ns_steps: int) -> jnp.ndarray:
+    """NS-orthogonalize a gradient leaf of any rank ≥ 2; returns same shape."""
+    g2d, shape = _flatten_to_2d(g)
+    o = newton_schulz(g2d.astype(jnp.float32), steps=ns_steps)
+    # shape-aspect rescale: RMS-preserving sqrt(max(1, rows/cols))
+    rows, cols = g2d.shape
+    o = o * math.sqrt(max(1.0, rows / cols))
+    return o.T.reshape(shape)
+
+
+class MuonState(NamedTuple):
+    momentum: optax.Updates
+    nu: optax.Updates  # per-neuron second moment (NorMuon only; zeros otherwise)
+
+
+def _is_stacked(path: tuple) -> bool:
+    """Params under the nn.scan'd physics layers carry a leading [L] axis."""
+    return any(getattr(k, "key", None) == "layers" for k in path)
+
+
+def scale_by_muon(
+    momentum: float = 0.95,
+    nesterov: bool = True,
+    ns_steps: int = 5,
+    normuon: bool = False,
+    beta2: float = 0.95,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Momentum + Newton–Schulz orthogonalization (optionally NorMuon).
+
+    NorMuon additionally keeps an EMA of the per-output-neuron mean square of
+    the orthogonalized update, divides each row by its RMS, and rescales to
+    preserve the global Frobenius norm (neuron-wise variance reduction on top
+    of Muon).
+    """
+
+    def _nu_axes(path, leaf_ndim: int) -> tuple:
+        """Fan-in axes to reduce for the per-neuron second moment.
+
+        Last axis = output neuron; a leading stacked-layer axis is kept so
+        each scanned layer has its own statistics.
+        """
+        start = 1 if (_is_stacked(path) and leaf_ndim >= 3) else 0
+        return tuple(range(start, leaf_ndim - 1))
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        if normuon:
+            def nu_init(path, p):
+                axes = _nu_axes(path, p.ndim)
+                shape = tuple(s for i, s in enumerate(p.shape) if i not in axes)
+                return jnp.zeros(shape, jnp.float32)
+
+            nu = jax.tree_util.tree_map_with_path(nu_init, params)
+        else:
+            nu = jax.tree.map(lambda p: jnp.zeros((), jnp.float32), params)
+        return MuonState(momentum=zeros, nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        bufs = jax.tree.map(lambda m, g: momentum * m + g, state.momentum, updates)
+        if nesterov:
+            eff = jax.tree.map(lambda g, m: g + momentum * m, updates, bufs)
+        else:
+            eff = bufs
+
+        def orth(path, g):
+            if g.ndim < 2:
+                return g  # defensive: 1-D leaves shouldn't be labeled muon
+            if _is_stacked(path) and g.ndim >= 3:
+                return jax.vmap(lambda x: _orthogonalized_update(x, ns_steps))(g)
+            return _orthogonalized_update(g, ns_steps)
+
+        outs = jax.tree_util.tree_map_with_path(orth, eff)
+
+        if not normuon:
+            return outs, MuonState(momentum=bufs, nu=state.nu)
+
+        def nu_update(path, o, n):
+            ms = jnp.mean(jnp.square(o.astype(jnp.float32)), axis=_nu_axes(path, o.ndim))
+            return beta2 * n + (1.0 - beta2) * ms
+
+        nu_tree = jax.tree_util.tree_map_with_path(nu_update, outs, state.nu)
+
+        def normalize(path, o, nu):
+            axes = _nu_axes(path, o.ndim)
+            # broadcast nu ([out] or [L, out]) back over the fan-in axes
+            shape = [1] * o.ndim
+            kept = [i for i in range(o.ndim) if i not in axes]
+            for i, ax in enumerate(kept):
+                shape[ax] = nu.shape[i]
+            o_hat = o / (jnp.sqrt(nu).reshape(shape) + eps)
+            # preserve the global norm of the orthogonalized update
+            scale = jnp.linalg.norm(o.reshape(-1)) / (
+                jnp.linalg.norm(o_hat.reshape(-1)) + eps
+            )
+            return o_hat * scale
+
+        outs = jax.tree_util.tree_map_with_path(normalize, outs, nu_tree)
+        return outs, MuonState(momentum=bufs, nu=nu_tree)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+# -- parameter partition ------------------------------------------------------
+
+def muon_label_fn(params) -> dict:
+    """'muon' for linear/conv kernels (+ GlobalBias projection), else 'adamw'."""
+
+    def label(path, leaf):
+        name = getattr(path[-1], "key", None)
+        if name in ("kernel", "projection") and leaf.ndim >= 2:
+            return "muon"
+        return "adamw"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_optimizer(cfg, params_example) -> optax.GradientTransformation:
+    """Assemble the configured optimizer (reference configure_optimizers,
+    ``trainer.py:323-364``); the LR hyperparameter starts at cfg lr and is
+    driven per-step by the host via ``set_learning_rate``."""
+    ocfg = cfg.training.optimizer
+    name = ocfg.name
+    wd = float(ocfg.weight_decay)
+    b1, b2 = float(ocfg.beta1), float(ocfg.beta2)
+
+    adamw_core = optax.chain(
+        optax.scale_by_adam(b1=b1, b2=b2),
+        optax.add_decayed_weights(wd),
+    )
+
+    if name == "adamw":
+        core = adamw_core
+    elif name in ("muon", "normuon"):
+        muon_core = optax.chain(
+            scale_by_muon(momentum=b1, normuon=(name == "normuon"), beta2=b2),
+            optax.add_decayed_weights(wd),
+        )
+        core = optax.multi_transform(
+            {"muon": muon_core, "adamw": adamw_core},
+            muon_label_fn(params_example),
+        )
+    else:
+        raise ValueError(f"Optimizer {name} not supported: adamw|muon|normuon")
+
+    lr_inject = optax.inject_hyperparams(
+        lambda learning_rate: optax.scale(-learning_rate)
+    )(learning_rate=float(ocfg.lr))
+
+    clip = cfg.training.get("gradient_clip_val", None)
+    parts = [core, lr_inject]
+    if clip is not None:
+        parts.insert(0, optax.clip_by_global_norm(float(clip)))
+    return optax.chain(*parts)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Return opt_state with the injected learning-rate hyperparam replaced."""
+
+    def visit(node):
+        if isinstance(node, optax.InjectStatefulHyperparamsState) or (
+            hasattr(node, "hyperparams") and "learning_rate" in getattr(node, "hyperparams", {})
+        ):
+            hp = dict(node.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return node._replace(hyperparams=hp)
+        if isinstance(node, tuple) and not hasattr(node, "_fields"):
+            return tuple(visit(n) for n in node)
+        if hasattr(node, "_fields"):  # other NamedTuples: recurse into fields
+            return node
+        return node
+
+    return visit(opt_state)
+
+
+def get_learning_rate(opt_state) -> float:
+    for node in opt_state:
+        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
+            return float(node.hyperparams["learning_rate"])
+    raise ValueError("no injected learning_rate found in optimizer state")
+
+
+# -- LR schedules (host-side; reference trainer.py:381-456) --------------------
+
+def wsd_schedule(base_lr: float, total_steps: int, warmup, decay) -> Callable[[int], float]:
+    """Warmup-stable-decay (reference trainer.py:416-456)."""
+    warmup_steps = warmup if warmup >= 1 else warmup * total_steps
+    decay_steps = decay if decay >= 1 else decay * total_steps
+    assert warmup_steps >= 0 and decay_steps >= 0
+    assert warmup_steps + decay_steps <= total_steps
+    steady = total_steps - (warmup_steps + decay_steps)
+
+    def fn(step: int) -> float:
+        if step < warmup_steps:
+            return base_lr * (step + 1) / warmup_steps
+        if step <= warmup_steps + steady:
+            return base_lr
+        return base_lr * (total_steps - step) / decay_steps
+
+    return fn
+
+
+def one_cycle_schedule(base_lr: float, total_steps: int, pct_start: float,
+                       div_factor: float, final_div: float) -> Callable[[int], float]:
+    """Cosine OneCycle (torch OneCycleLR semantics, reference trainer.py:381-394)."""
+    initial = base_lr / div_factor
+    final = initial / final_div
+    up_steps = max(1, int(pct_start * total_steps))
+
+    def fn(step: int) -> float:
+        if step < up_steps and pct_start > 0:
+            t = step / up_steps
+            return initial + (base_lr - initial) * 0.5 * (1 - math.cos(math.pi * t))
+        denom = max(1, total_steps - up_steps)
+        t = min(1.0, (step - up_steps) / denom)
+        return final + (base_lr - final) * 0.5 * (1 + math.cos(math.pi * t))
+
+    return fn
+
+
+@dataclass
+class PlateauController:
+    """ReduceLROnPlateau (reference trainer.py:396-415): host-side state."""
+
+    base_lr: float
+    factor: float = 0.75
+    patience: int = 3
+    threshold: float = 1e-4
+    threshold_mode: str = "rel"
+    min_lr: float = 1e-7
+    best: float = math.inf
+    bad_epochs: int = 0
+    lr: float = 0.0
+
+    def __post_init__(self):
+        self.lr = self.base_lr
+
+    def update(self, metric: float) -> float:
+        if self.threshold_mode == "rel":
+            improved = metric < self.best * (1.0 - self.threshold)
+        else:
+            improved = metric < self.best - self.threshold
+        if improved:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.min_lr, self.lr * self.factor)
+                self.bad_epochs = 0
+        return self.lr
+
+
+def build_schedule(cfg, total_steps: int) -> tuple[Callable[[int], float], PlateauController | None]:
+    """Exactly one scheduler must be enabled (reference trainer.py:366-379)."""
+    s = cfg.training.scheduler
+    enabled = sum([bool(s.one_cycle.enabled), bool(s.reduce_lr.enabled), bool(s.wsd.enabled)])
+    if enabled != 1:
+        raise ValueError(
+            f"Invalid config: exactly one scheduler must be enabled, found {enabled}."
+        )
+    base_lr = float(cfg.training.optimizer.lr)
+    if s.wsd.enabled:
+        return wsd_schedule(base_lr, total_steps, s.wsd.warmup, s.wsd.decay), None
+    if s.one_cycle.enabled:
+        return (
+            one_cycle_schedule(base_lr, total_steps, s.one_cycle.warmup_pct_start,
+                               s.one_cycle.lr_div_factor, s.one_cycle.lr_final_div),
+            None,
+        )
+    ctrl = PlateauController(
+        base_lr=base_lr,
+        factor=float(s.reduce_lr.factor),
+        patience=int(s.reduce_lr.patience),
+        threshold=float(s.reduce_lr.threshold),
+        threshold_mode=str(s.reduce_lr.threshold_mode),
+        min_lr=float(s.reduce_lr.min_lr),
+    )
+    return (lambda step: ctrl.lr), ctrl

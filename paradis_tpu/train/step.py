@@ -1,0 +1,227 @@
+"""Jitted training/eval steps: autoregressive rollout, TBPTT, grad accumulation.
+
+Restructures the reference's manual-optimization loop (``trainer.py:498-587``)
+into JAX's loss-then-grad form:
+
+  * the rollout over forecast steps is a ``lax.scan`` whose carry is the
+    autoregressive dynamic-input stack;
+  * the reference's interleaved ``manual_backward`` every
+    ``detach_gradient_every`` steps becomes per-segment ``value_and_grad``
+    with a stop-gradient carry between segments (identical gradients, JAX
+    structure);
+  * cross-batch gradient accumulation keeps a running sum in the train state
+    and applies the optimizer every ``accumulate_grad_batches`` microsteps
+    under ``lax.cond`` (reference trainer.py:503-506,580-587);
+  * losses are scaled by ``1/(num_steps * grad_accum)`` exactly like the
+    reference's ``chunk_loss`` so accumulated gradients match.
+
+Batch layout (channels-last): ``input [B,H,W,C_dyn]``, ``target [B,S,H,W,C_out]``,
+``forcings [B,S,H,W,F]``, ``constants [B,H,W,K]``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray          # optimizer steps taken
+    micro_step: jnp.ndarray    # microbatches seen (for grad accumulation)
+    accum: Any                 # gradient accumulator (zeros when unused)
+
+
+def create_train_state(params, optimizer) -> TrainState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+        micro_step=jnp.zeros((), jnp.int32),
+        accum=zeros,
+    )
+
+
+def autoregress_next_input(dyn_input: jnp.ndarray, output: jnp.ndarray,
+                           num_common: int, n_time_inputs: int) -> jnp.ndarray:
+    """Shift the lagged common-feature stack and append the new prediction.
+
+    Mirrors reference ``trainer.py:710-729``; like the reference it assumes
+    the per-time dynamic block equals the common features (true whenever all
+    input variables are also outputs, as in the default config).
+    """
+    common = output[..., :num_common]
+    if n_time_inputs == 1:
+        return common
+    lag = num_common * n_time_inputs
+    return jnp.concatenate([dyn_input[..., num_common:lag], common], axis=-1)
+
+
+def _rollout_segment(model_apply, loss_fn, params, dyn_input, targets, forcings,
+                     constants, num_common, n_time_inputs):
+    """Scan a contiguous rollout segment; returns (sum loss, final dyn, per-step)."""
+
+    def body(dyn, xs):
+        forcing_t, target_t = xs
+        model_in = jnp.concatenate(
+            [dyn, forcing_t, jnp.broadcast_to(constants, forcing_t.shape[:1] + constants.shape[1:])],
+            axis=-1,
+        )
+        out = model_apply(params, model_in)
+        loss_t = loss_fn(out, target_t)
+        nxt = autoregress_next_input(dyn, out, num_common, n_time_inputs)
+        return nxt, loss_t
+
+    # scan over the step axis: [S, B, H, W, C]
+    final_dyn, losses = jax.lax.scan(
+        body, dyn_input, (jnp.moveaxis(forcings, 1, 0), jnp.moveaxis(targets, 1, 0))
+    )
+    return jnp.sum(losses), final_dyn, losses
+
+
+def make_train_step(model, loss_fn, cfg, optimizer=None,
+                    donate: bool = True) -> tuple[Callable, Any]:
+    """Build (jitted train_step, optimizer).
+
+    ``train_step(state, batch, num_common) -> (state, metrics)`` where
+    metrics = {loss, loss_per_step, grad_norm, applied}.
+    """
+    n_time = int(cfg.dataset.n_time_inputs)
+    grad_accum = int(cfg.training.get("accumulate_grad_batches", 1))
+    detach_every = cfg.training.optimizer.get("detach_gradient_every", None)
+
+    def step_fn(state: TrainState, batch: dict, num_common_features: int):
+        dyn_input = batch["input"]
+        targets = batch["target"]
+        forcings = batch["forcings"]
+        constants = batch["constants"]
+        S = targets.shape[1]
+
+        seg = detach_every if detach_every else S
+        seg = max(1, min(int(seg), S))
+        bounds = list(range(0, S, seg))
+
+        scale = 1.0 / (S * grad_accum)
+
+        def seg_loss(params, dyn, seg_targets, seg_forcings):
+            total, final_dyn, per_step = _rollout_segment(
+                lambda p, x: model.apply(p, x), loss_fn, params, dyn,
+                seg_targets, seg_forcings, constants, num_common_features, n_time,
+            )
+            return total * scale, (final_dyn, per_step)
+
+        grads = None
+        dyn = dyn_input
+        step_losses = []
+        for lo in bounds:
+            hi = min(lo + seg, S)
+            g_fn = jax.value_and_grad(seg_loss, has_aux=True)
+            (_, (dyn, per_step)), g = g_fn(
+                state.params, dyn, targets[:, lo:hi], forcings[:, lo:hi]
+            )
+            dyn = jax.lax.stop_gradient(dyn)
+            step_losses.append(per_step)
+            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+
+        losses_all = jnp.concatenate(step_losses)  # [S]
+        train_loss = jnp.mean(losses_all)
+
+        accum = jax.tree.map(jnp.add, state.accum, grads)
+        micro = state.micro_step + 1
+        should_apply = (micro % grad_accum) == 0
+
+        def apply_fn(operand):
+            params, opt_state, acc = operand
+            updates, new_opt = optimizer.update(acc, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(acc)
+            zeroed = jax.tree.map(jnp.zeros_like, acc)
+            return new_params, new_opt, zeroed, gnorm
+
+        def skip_fn(operand):
+            params, opt_state, acc = operand
+            return params, opt_state, acc, jnp.zeros((), jnp.float32)
+
+        new_params, new_opt, new_accum, gnorm = jax.lax.cond(
+            should_apply, apply_fn, skip_fn, (state.params, state.opt_state, accum)
+        )
+
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt,
+            step=state.step + jnp.where(should_apply, 1, 0).astype(jnp.int32),
+            micro_step=micro,
+            accum=new_accum,
+        )
+        metrics = {
+            "loss": train_loss,
+            "loss_per_step": losses_all,
+            "grad_norm": gnorm,
+            "applied": should_apply,
+        }
+        return new_state, metrics
+
+    jitted = jax.jit(
+        step_fn,
+        static_argnums=(2,),
+        donate_argnums=(0,) if donate else (),
+    )
+    return jitted, optimizer
+
+
+def make_eval_step(model, loss_fn, cfg,
+                   report: Optional[dict] = None) -> Callable:
+    """Validation rollout: mean loss + optional denormalized report RMSEs.
+
+    ``report`` carries {"indices": [R] output-channel indices,
+    "std": [R] denorm stds, "lat_weights": [H]} for the reference's
+    ``_get_report_rmse`` (``trainer.py:291-315``, z-score variables).
+    """
+    n_time = int(cfg.dataset.n_time_inputs)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def eval_fn(params, batch, num_common_features: int):
+        targets = batch["target"]
+        constants = batch["constants"]
+        S = targets.shape[1]
+
+        def body(dyn, xs):
+            forcing_t, target_t = xs
+            model_in = jnp.concatenate(
+                [dyn, forcing_t,
+                 jnp.broadcast_to(constants, forcing_t.shape[:1] + constants.shape[1:])],
+                axis=-1,
+            )
+            out = model.apply(params, model_in)
+            loss_t = loss_fn(out, target_t)
+            extras = {}
+            if report is not None:
+                idx = jnp.asarray(report["indices"])
+                stds = jnp.asarray(report["std"], jnp.float32)
+                lat_w = jnp.asarray(report["lat_weights"], jnp.float32)[None, :, None]
+                diff = (out[..., idx] - target_t[..., idx]).astype(jnp.float32)
+                mse = jnp.mean(
+                    (diff * stds) ** 2 * lat_w[..., None], axis=(0, 1, 2)
+                )
+                extras["report_mse"] = mse
+            nxt = autoregress_next_input(dyn, out, num_common_features, n_time)
+            return nxt, (loss_t, extras)
+
+        _, (losses, extras) = jax.lax.scan(
+            body, batch["input"],
+            (jnp.moveaxis(batch["forcings"], 1, 0), jnp.moveaxis(targets, 1, 0)),
+        )
+        out = {"loss": jnp.mean(losses)}
+        if report is not None:
+            out["report_rmse"] = jnp.sqrt(jnp.mean(extras["report_mse"], axis=0))
+        return out
+
+    return eval_fn

@@ -1,0 +1,145 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from paradis_tpu.config import default_config
+from paradis_tpu.train.optim import (
+    PlateauController,
+    build_optimizer,
+    build_schedule,
+    get_learning_rate,
+    muon_label_fn,
+    newton_schulz,
+    one_cycle_schedule,
+    set_learning_rate,
+    wsd_schedule,
+)
+
+
+def test_newton_schulz_orthogonalizes():
+    g = jnp.asarray(np.random.default_rng(0).normal(size=(32, 64)), jnp.float32)
+    o = np.asarray(newton_schulz(g, steps=5), np.float32)
+    gram = o @ o.T
+    # singular values pushed toward 1 (bf16 NS is approximate)
+    sv = np.linalg.svd(o, compute_uv=False)
+    assert sv.max() < 1.6 and sv.min() > 0.3
+    assert np.abs(np.diag(gram) - 1.0).mean() < 0.4
+
+
+def test_newton_schulz_tall_matrix():
+    g = jnp.asarray(np.random.default_rng(1).normal(size=(128, 16)), jnp.float32)
+    o = np.asarray(newton_schulz(g))
+    sv = np.linalg.svd(o, compute_uv=False)
+    assert sv.max() < 1.6 and sv.min() > 0.3
+
+
+def _toy_params():
+    return {
+        "input_proj": {"conv": {"kernel": jnp.ones((8, 16)), "bias": jnp.zeros((16,))}},
+        "layers": {
+            "velocity_net": {"layer0_CLinear": {"conv": {"kernel": jnp.ones((2, 16, 8))}}},
+            "alpha_adv": jnp.zeros((2, 16)),
+            "bias0": {"A": jnp.zeros((4, 8)), "projection": jnp.ones((2, 4, 16))},
+        },
+        "norm": {"weight": jnp.ones((16,)), "bias": jnp.zeros((16,))},
+    }
+
+
+def test_label_fn_partition():
+    labels = muon_label_fn(_toy_params())
+    assert labels["input_proj"]["conv"]["kernel"] == "muon"
+    assert labels["input_proj"]["conv"]["bias"] == "adamw"
+    assert labels["layers"]["velocity_net"]["layer0_CLinear"]["conv"]["kernel"] == "muon"
+    assert labels["layers"]["alpha_adv"] == "adamw"
+    assert labels["layers"]["bias0"]["A"] == "adamw"
+    assert labels["layers"]["bias0"]["projection"] == "muon"
+    assert labels["norm"]["weight"] == "adamw"
+
+
+@pytest.mark.parametrize("name", ["adamw", "muon", "normuon"])
+def test_optimizer_step_decreases_quadratic(name):
+    cfg = default_config().resolved()
+    cfg.training.optimizer.name = name
+    cfg.training.optimizer.lr = 0.05
+    params = _toy_params()
+    opt = build_optimizer(cfg, params)
+    state = opt.init(params)
+    target = jax.tree.map(lambda p: p + 1.0, params)
+
+    def loss(p):
+        return sum(
+            jnp.sum((a - b) ** 2)
+            for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(target))
+        )
+
+    l0 = float(loss(params))
+    p = params
+    for _ in range(20):
+        g = jax.grad(loss)(p)
+        upd, state = opt.update(g, state, p)
+        p = optax.apply_updates(p, upd)
+    assert float(loss(p)) < l0 * 0.8
+
+
+def test_lr_injection_roundtrip():
+    cfg = default_config().resolved()
+    params = _toy_params()
+    opt = build_optimizer(cfg, params)
+    state = opt.init(params)
+    assert get_learning_rate(state) == pytest.approx(5e-4)
+    state = set_learning_rate(state, 1.23e-3)
+    assert get_learning_rate(state) == pytest.approx(1.23e-3)
+    # state still usable after mutation
+    g = jax.tree.map(jnp.ones_like, params)
+    upd, _ = opt.update(g, state, params)
+    assert np.isfinite(np.asarray(jax.tree.leaves(upd)[0])).all()
+
+
+def test_wsd_schedule_shape():
+    fn = wsd_schedule(1.0, total_steps=1000, warmup=100, decay=0.2)
+    assert fn(0) == pytest.approx(0.01)
+    assert fn(99) == pytest.approx(1.0)
+    assert fn(500) == 1.0
+    assert fn(800) == 1.0
+    assert fn(900) == pytest.approx(0.5)
+    assert fn(999) == pytest.approx(1 / 200)
+
+
+def test_one_cycle_schedule_shape():
+    fn = one_cycle_schedule(1.0, 1000, pct_start=0.1, div_factor=10, final_div=100)
+    assert fn(0) == pytest.approx(0.1, rel=0.01)
+    assert fn(100) == pytest.approx(1.0, rel=0.01)
+    assert fn(999) == pytest.approx(0.001, abs=0.01)
+    # monotone up then down
+    assert fn(50) > fn(10)
+    assert fn(500) > fn(900)
+
+
+def test_plateau_controller():
+    c = PlateauController(base_lr=1.0, factor=0.5, patience=1, threshold=0.0)
+    assert c.update(1.0) == 1.0   # first metric becomes best
+    assert c.update(0.9) == 1.0   # improved
+    assert c.update(0.95) == 1.0  # bad 1
+    assert c.update(0.95) == 0.5  # bad 2 > patience → cut
+    assert c.update(0.95) == 0.5  # counter reset
+
+
+def test_build_schedule_exactly_one():
+    cfg = default_config().resolved()
+    cfg.training.scheduler.one_cycle.enabled = True  # two enabled now
+    with pytest.raises(ValueError):
+        build_schedule(cfg, 1000)
+
+
+def test_grad_clip_applied():
+    cfg = default_config().resolved()
+    cfg.training.gradient_clip_val = 1.0
+    cfg.training.optimizer.name = "adamw"
+    params = {"w": jnp.zeros((4, 4))}
+    opt = build_optimizer(cfg, params)
+    state = opt.init(params)
+    g = {"w": jnp.full((4, 4), 100.0)}
+    upd, _ = opt.update(g, state, params)
+    assert np.isfinite(np.asarray(upd["w"])).all()
