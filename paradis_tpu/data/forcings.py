@@ -1,0 +1,110 @@
+"""Astronomical and temporal forcings (host-side numpy).
+
+Functional parity with reference ``data/forcings/toa_radiation.py:37-238`` and
+``data/forcings/time_vars.py:6-41``: top-of-atmosphere solar irradiance
+integrated over the hour before each timestamp via 15-node Gauss–Legendre
+quadrature, using the USNO low-precision solar ephemeris (mean anomaly /
+longitude polynomials, equation of time), plus sin/cos encodings of local
+time-of-day and year progress.
+
+These run in dataloader threads; everything is vectorized numpy float32 with
+float64 ephemeris scalars.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Julian reference epoch: 2000-01-01 12:00 UTC (JD 2451545).
+_J2000_US = np.datetime64("2000-01-01T12:00", "us").astype(np.float64)
+_US_PER_DAY = 86400e6
+_SOLAR_CONSTANT = 1360.56  # W/m², matches the reference's irradiance scale
+
+# 15-node Gauss–Legendre rule for the 1-hour integration window
+_QNODES, _QWEIGHTS = np.polynomial.legendre.leggauss(15)
+
+
+def solar_ephemeris(t_us: float) -> dict:
+    """Low-precision solar position at a microsecond-epoch timestamp.
+
+    Returns right ascension, declination, Sun distance (AU) and mean
+    longitude, all per the USNO approximation formulas.
+    """
+    d = (t_us - _J2000_US) / _US_PER_DAY  # days since J2000
+    g = np.deg2rad(np.mod(357.529 + 0.98560028 * d, 360.0))     # mean anomaly
+    q = np.deg2rad(np.mod(280.459 + 0.98564736 * d, 360.0))     # mean longitude
+    lam = q + np.deg2rad(1.915 * np.sin(g) + 0.020 * np.sin(2 * g))  # ecl. longitude
+    dist = 1.00014 - 0.01671 * np.cos(g) - 0.00014 * np.cos(2 * g)
+    eps = np.deg2rad(23.439 - 0.00000036 * d)                    # obliquity
+    ra = np.arctan2(np.cos(eps) * np.sin(lam), np.cos(lam))
+    dec = np.arcsin(np.sin(eps) * np.sin(lam))
+    return {"ra": ra, "dec": dec, "dist": dist, "mean_lon": q}
+
+
+def equation_of_time_rad(mean_lon: float, ra: float) -> float:
+    """EOT as an angle, wrapped to (-π, π]."""
+    return np.mod(mean_lon - ra + np.pi, 2.0 * np.pi) - np.pi
+
+
+def _irradiance(lat_rad: np.ndarray, lon_deg: np.ndarray, t_us: float) -> np.ndarray:
+    """Instantaneous TOA irradiance [W/m²] on a (lat × lon) grid."""
+    eph = solar_ephemeris(t_us)
+    day_frac = (t_us - _J2000_US) / _US_PER_DAY
+    eot_days = equation_of_time_rad(eph["mean_lon"], eph["ra"]) / (2.0 * np.pi)
+    # local true solar hour angle (radians), longitude in degrees east
+    solar_time = np.deg2rad(lon_deg) + np.mod(day_frac + eot_days, 1.0) * 2.0 * np.pi
+    cosz = (
+        np.sin(lat_rad)[:, None] * np.sin(eph["dec"])
+        + np.cos(lat_rad)[:, None] * np.cos(eph["dec"]) * np.cos(solar_time)[None, :]
+    )
+    return np.maximum(0.0, cosz) * (_SOLAR_CONSTANT / eph["dist"] ** 2)
+
+
+def toa_radiation(times: np.ndarray, lat_deg: np.ndarray, lon_deg: np.ndarray) -> np.ndarray:
+    """TOA solar radiation [J/m²] integrated over the hour ending at each time.
+
+    Args: datetime64 timestamps [T], latitude [H] and longitude [W] in degrees.
+    Returns float32 [T, H, W].
+    """
+    times_us = np.asarray(times).astype("datetime64[us]").astype(np.float64)
+    lat_rad = np.deg2rad(np.asarray(lat_deg, np.float64))
+    lon = np.asarray(lon_deg, np.float64)
+    out = np.zeros((times_us.size, lat_rad.size, lon.size), np.float32)
+    # map GL nodes from [-1, 1] onto the preceding hour; weights in seconds
+    for node, weight in zip(_QNODES, _QWEIGHTS):
+        dt_us = 3600e6 * (1.0 + node) / 2.0
+        w_sec = 3600.0 * weight / 2.0
+        for i, t in enumerate(times_us):
+            out[i] += (w_sec * _irradiance(lat_rad, lon, t - dt_us)).astype(np.float32)
+    return out
+
+
+def toa_radiation_stats(times: np.ndarray, lat_deg: np.ndarray, lon_deg: np.ndarray,
+                        time_stride: int = 1) -> tuple[float, float]:
+    """Streaming global mean/std of hourly TOA radiation over (T, H, W)."""
+    times = np.asarray(times)[::time_stride]
+    total = total_sq = 0.0
+    count = 0
+    for t in times:
+        rad = toa_radiation(np.asarray([t]), lat_deg, lon_deg)[0].astype(np.float64)
+        total += rad.sum()
+        total_sq += (rad**2).sum()
+        count += rad.size
+    mean = total / count
+    var = max(0.0, total_sq / count - mean * mean)
+    return float(mean), float(np.sqrt(var))
+
+
+def time_forcings(times: np.ndarray) -> dict[str, np.ndarray]:
+    """sin/cos of UTC time-of-day and year progress (reference time_vars.py)."""
+    t_h = np.asarray(times).astype("datetime64[h]")
+    hour = (t_h - t_h.astype("datetime64[D]")) / np.timedelta64(1, "h")
+    day_phase = 2.0 * np.pi * hour / 24.0
+    doy = (t_h - t_h.astype("datetime64[Y]")) / np.timedelta64(1, "D")
+    year_phase = 2.0 * np.pi * doy / 365.25
+    return {
+        "sin_time_of_day": np.sin(day_phase),
+        "cos_time_of_day": np.cos(day_phase),
+        "sin_year_progress": np.sin(year_phase),
+        "cos_year_progress": np.cos(year_phase),
+    }

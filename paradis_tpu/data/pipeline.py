@@ -1,0 +1,116 @@
+"""Host → device batching with background-thread prefetch.
+
+Replaces the reference's torch DataLoader workers (``data/datamodule.py``)
+with a threaded prefetcher: the host assembles numpy batches ahead of the
+training loop while the TPU computes, and batches are placed on device
+(optionally with a sharding) before the step needs them.  Threads, not
+processes — decode is numpy-releasing-the-GIL work and this box has one core.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:  # device placement is optional: tests iterate numpy batches directly
+    import jax
+except ImportError:  # pragma: no cover
+    jax = None
+
+
+def collate(samples: list[tuple]) -> dict:
+    """Stack dataset samples into a training batch dict."""
+    xs, ys, forcings, consts = zip(*samples)
+    return {
+        "input": np.stack(xs),
+        "target": np.stack(ys),
+        "forcings": np.stack(forcings),
+        "constants": np.stack(consts),
+    }
+
+
+def collate_prediction(samples: list[tuple]) -> dict:
+    idxs, xs, forcings, consts = zip(*samples)
+    return {
+        "index": np.asarray(idxs, np.int64),
+        "input": np.stack(xs),
+        "forcings": np.stack(forcings),
+        "constants": np.stack(consts),
+    }
+
+
+class BatchLoader:
+    """Iterable over shuffled, prefetched batches of an ERA5Dataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 2,
+                 sharding=None, device_put: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = max(1, prefetch)
+        self.sharding = sharding
+        self.device_put = device_put and jax is not None
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+        self._collate = (
+            collate_prediction if getattr(dataset, "prediction_stage", False) else collate
+        )
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._epoch_order()
+        self._epoch += 1
+        n_batches = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    batch = self._collate([self.dataset[int(i)] for i in idxs])
+                    if self.device_put:
+                        put = {}
+                        for k, v in batch.items():
+                            if k == "index":
+                                put[k] = v
+                            elif self.sharding is not None:
+                                put[k] = jax.device_put(v, self.sharding)
+                            else:
+                                put[k] = jax.device_put(v)
+                        batch = put
+                    q.put(batch)
+                q.put(None)
+            except Exception as e:  # surface worker errors in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
