@@ -12,6 +12,7 @@ same ``a.b.c=value`` syntax Hydra exposes on the training CLI, and
 from __future__ import annotations
 
 import copy
+import datetime
 import json
 import re
 from pathlib import Path
@@ -80,6 +81,8 @@ def _wrap(value: Any) -> Any:
         return Config({k: _wrap(v) for k, v in value.items()})
     if isinstance(value, list):
         return [_wrap(v) for v in value]
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return value.isoformat()  # YAML parses bare dates; keep strings
     return value
 
 

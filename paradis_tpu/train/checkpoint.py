@@ -1,0 +1,151 @@
+"""Checkpointing (orbax) with the reference's three retention policies.
+
+Reference ``utils/callbacks.py:161-197``: keep-all per-epoch checkpoints,
+a rolling window of step checkpoints (every 100 steps, keep 10, plus
+``last``), and the best-validation checkpoint.  Two load modes
+(``trainer.py:222-258``): full resume vs weights-only with cross-resolution
+surgery — GlobalBias U/V factors are linearly re-interpolated when the grid
+resolution changed (the reference's deliberate transfer feature).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+from pathlib import Path
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from paradis_tpu.ops.resize import linear_interp_matrix
+
+
+class CheckpointManager:
+    """Directory layout: <root>/{steps,epochs,best}/<tag>/ orbax trees."""
+
+    def __init__(self, root: str, keep_steps: int = 10, step_every: int = 100):
+        self.root = Path(root)
+        self.keep_steps = keep_steps
+        self.step_every = step_every
+        self._ckptr = ocp.StandardCheckpointer()
+        self.best_metric = math.inf
+        (self.root / "steps").mkdir(parents=True, exist_ok=True)
+        (self.root / "epochs").mkdir(parents=True, exist_ok=True)
+        (self.root / "best").mkdir(parents=True, exist_ok=True)
+
+    # -- save -------------------------------------------------------------------
+
+    def _save(self, path: Path, state) -> None:
+        """Each checkpoint dir holds two trees: the full train state (for
+        resume) and the bare params (for weights-only / transfer loads)."""
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save((path / "state").resolve(), state)
+        self._ckptr.wait_until_finished()
+        self._ckptr.save((path / "params").resolve(), state.params)
+        self._ckptr.wait_until_finished()
+
+    def maybe_save_step(self, step: int, state) -> bool:
+        if step % self.step_every != 0 or step == 0:
+            return False
+        self._save(self.root / "steps" / f"{step:08d}", state)
+        self._write_pointer("last", self.root / "steps" / f"{step:08d}")
+        kept = sorted((self.root / "steps").iterdir())
+        for old in kept[: max(0, len(kept) - self.keep_steps)]:
+            shutil.rmtree(old)
+        return True
+
+    def save_epoch(self, epoch: int, state) -> None:
+        self._save(self.root / "epochs" / f"{epoch:04d}", state)
+        self._write_pointer("last", self.root / "epochs" / f"{epoch:04d}")
+
+    def maybe_save_best(self, metric: float, state) -> bool:
+        if metric >= self.best_metric:
+            return False
+        self.best_metric = metric
+        self._save(self.root / "best" / "best", state)
+        (self.root / "best" / "metric.json").write_text(
+            json.dumps({"val_loss": float(metric)})
+        )
+        return True
+
+    def _write_pointer(self, name: str, target: Path) -> None:
+        (self.root / f"{name}.json").write_text(
+            json.dumps({"path": str(target.resolve())})
+        )
+
+    # -- restore ----------------------------------------------------------------
+
+    def latest_path(self) -> Path | None:
+        ptr = self.root / "last.json"
+        if not ptr.exists():
+            return None
+        path = Path(json.loads(ptr.read_text())["path"])
+        return path if path.exists() else None
+
+    def restore(self, target_state, path: str | Path | None = None):
+        """Full restore into the structure of ``target_state``."""
+        path = Path(path) if path else self.latest_path()
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint under {self.root}")
+        if (path / "state").exists():
+            path = path / "state"
+        return self._ckptr.restore(path.resolve(), target=target_state)
+
+
+def save_params(path: str, params) -> None:
+    ckptr = ocp.StandardCheckpointer()
+    p = Path(path)
+    if p.exists():
+        shutil.rmtree(p)
+    ckptr.save(p.resolve(), params)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, target_params):
+    """Weights-only load with resolution-transfer surgery.
+
+    Any loaded ``U``/``V`` GlobalBias factor whose trailing dimension differs
+    from the target's is linearly interpolated (align-corners), matching
+    reference ``trainer.py:233-257``.
+    """
+    ckptr = ocp.StandardCheckpointer()
+    # restore with relaxed structure: same tree, possibly different leaf shapes
+    loaded = ckptr.restore(Path(path).resolve())
+
+    t_leaves = jax.tree_util.tree_flatten_with_path(target_params)[0]
+    t_map = {jax.tree_util.keystr(k): v for k, v in t_leaves}
+
+    def fix(path_str, value):
+        target = t_map.get(path_str)
+        if target is None:
+            return value
+        value = np.asarray(value)
+        name = path_str.rsplit("'", 2)[-2] if "'" in path_str else path_str
+        if name in ("U", "V") and value.shape != target.shape \
+                and value.shape[:-1] == target.shape[:-1]:
+            mat = linear_interp_matrix(value.shape[-1], target.shape[-1])
+            return np.einsum("on,...n->...o", mat, value).astype(value.dtype)
+        return value
+
+    l_leaves = jax.tree_util.tree_flatten_with_path(loaded)[0]
+    treedef = jax.tree_util.tree_structure(loaded)
+    fixed = [fix(jax.tree_util.keystr(k), v) for k, v in l_leaves]
+    result = jax.tree_util.tree_unflatten(treedef, fixed)
+
+    # validate against target structure
+    tgt_def = jax.tree_util.tree_structure(target_params)
+    if tgt_def != treedef:
+        raise ValueError(
+            "checkpoint parameter tree does not match the model "
+            f"(loaded {treedef} vs target {tgt_def})"
+        )
+    for (pk, pv), (lk, lv) in zip(t_leaves, jax.tree_util.tree_flatten_with_path(result)[0]):
+        if np.shape(pv) != np.shape(lv):
+            raise ValueError(
+                f"shape mismatch at {jax.tree_util.keystr(pk)}: "
+                f"{np.shape(lv)} vs expected {np.shape(pv)}"
+            )
+    return result

@@ -1,0 +1,253 @@
+"""Training orchestration: epochs/steps, validation, checkpoints, watchdogs.
+
+The host-side loop around the jitted train step — the functional equivalent of
+the reference's Lightning Trainer + LitParadis + callbacks
+(``trainer.py``, ``utils/callbacks.py``, ``train.py``):
+
+  * steps/epochs budget (``max_steps`` counts optimizer steps),
+  * host-driven LR schedule written into the optimizer state each step,
+  * validation every N steps or per epoch, with denormalized report RMSEs,
+  * NaN/divergence watchdogs (StopOnNaNTrainLoss, EarlyStopping semantics),
+  * three checkpoint retention policies + resume/weights-only restore,
+  * per-step wall-time (``dt``) and samples/sec logging.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paradis_tpu.data.dataset import ERA5Dataset
+from paradis_tpu.data.pipeline import BatchLoader
+from paradis_tpu.model.paradis import Paradis
+from paradis_tpu.sphere.geometry import latitude_weights
+from paradis_tpu.train.checkpoint import CheckpointManager, load_params
+from paradis_tpu.train.loss import WeightedLoss
+from paradis_tpu.train.optim import build_optimizer, build_schedule, set_learning_rate
+from paradis_tpu.train.step import create_train_state, make_eval_step, make_train_step
+from paradis_tpu.utils.logging import MetricsLogger, save_run_snapshot
+
+log = logging.getLogger("paradis_tpu")
+
+
+class NaNLossError(RuntimeError):
+    pass
+
+
+class Trainer:
+    """End-to-end training driver for a config."""
+
+    def __init__(self, cfg, log_dir: str | None = None):
+        self.cfg = cfg
+        self.log_dir = Path(log_dir or cfg.training.log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+
+        # -- data ------------------------------------------------------------
+        self.train_ds = ERA5Dataset(
+            cfg.dataset.root_dir,
+            cfg.training.dataset.start_date,
+            cfg.training.dataset.end_date,
+            forecast_steps=int(cfg.model.forecast_steps),
+            cfg=cfg,
+            time_interval=cfg.dataset.sampling_interval,
+            preload=bool(cfg.training.dataset.preload),
+        )
+        val_steps = int(cfg.model.get("val_forecast_steps") or cfg.model.forecast_steps)
+        self.val_ds = ERA5Dataset(
+            cfg.dataset.root_dir,
+            cfg.training.validation_dataset.start_date,
+            cfg.training.validation_dataset.end_date,
+            forecast_steps=val_steps,
+            cfg=cfg,
+            time_interval=cfg.dataset.sampling_interval,
+            preload=bool(cfg.training.validation_dataset.preload),
+        )
+        bs = int(cfg.compute.batch_size)
+        self.train_loader = BatchLoader(
+            self.train_ds, bs, shuffle=True, seed=int(cfg.init.get("seed") or 0),
+            drop_last=True,
+        )
+        self.val_loader = BatchLoader(self.val_ds, bs, shuffle=False, drop_last=True)
+
+        # -- model/loss/optimizer ---------------------------------------------
+        ds = self.train_ds
+        self.model = Paradis.from_config(
+            cfg,
+            input_dim=ds.num_in_features,
+            output_dim=ds.num_out_features,
+            lat_deg=ds.lat,
+            lon_deg=ds.lon,
+        )
+        self.loss_fn = WeightedLoss.from_config(cfg, ds.lat, ds.dyn_output_features)
+        val_kind = cfg.training.loss_function.get("validation_loss", None)
+        self.val_loss_fn = (
+            WeightedLoss.from_config(cfg, ds.lat, ds.dyn_output_features, kind=val_kind)
+            if val_kind else self.loss_fn
+        )
+
+        rng = jax.random.PRNGKey(int(cfg.init.get("seed") or 0))
+        sample_in = jnp.zeros((1, ds.lat_size, ds.lon_size, ds.num_in_features),
+                              jnp.float32)
+        params = self.model.init(rng, sample_in)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        log.info("Number of trainable parameters: %s", f"{n_params:,}")
+        self.num_parameters = n_params
+
+        if cfg.init.checkpoint_path and not cfg.init.restart:
+            log.info("loading weights from %s", cfg.init.checkpoint_path)
+            params = load_params(cfg.init.checkpoint_path, params)
+
+        self.optimizer = build_optimizer(cfg, params)
+        self.train_step, _ = make_train_step(self.model, self.loss_fn, cfg,
+                                             self.optimizer)
+
+        report = None
+        self.report_features = []
+        if cfg.training.reports.enable and ds.report_stats is not None:
+            self.report_features = list(cfg.training.reports.features)
+            idx = [ds.dyn_output_features.index(f) for f in self.report_features]
+            report = {
+                "indices": np.asarray(idx),
+                "std": ds.report_stats["std"],
+                "lat_weights": latitude_weights(ds.lat).astype(np.float32),
+            }
+        self.eval_step = make_eval_step(self.model, self.val_loss_fn, cfg, report)
+
+        self.state = create_train_state(params, self.optimizer)
+
+        # -- schedule / checkpoints / logging ----------------------------------
+        max_steps = int(cfg.training.max_steps)
+        if max_steps <= 0:
+            epochs = max(1, int(cfg.training.max_epochs))
+            max_steps = epochs * max(1, len(self.train_loader))
+        self.max_steps = max_steps
+        self.schedule, self.plateau = build_schedule(cfg, max_steps)
+
+        self.ckpt = CheckpointManager(self.log_dir / "checkpoints")
+        if cfg.init.checkpoint_path and cfg.init.restart:
+            log.info("resuming full state from %s", cfg.init.checkpoint_path)
+            self.state = self.ckpt.restore(self.state, cfg.init.checkpoint_path)
+
+        self.metrics = MetricsLogger(self.log_dir)
+        save_run_snapshot(self.log_dir, cfg)
+        self.metrics.log(0, {"model/num_parameters": n_params})
+
+        es = cfg.training.early_stopping
+        self._early_stopping = bool(es.enabled)
+        self._es_patience = int(es.patience)
+        self._es_best = float("inf")
+        self._es_bad = 0
+        self._checkpointing = bool(cfg.training.checkpointing.enabled)
+
+    # -- loops -----------------------------------------------------------------
+
+    def fit(self) -> dict:
+        cfg = self.cfg
+        num_common = self.train_ds.num_common_features
+        log_every = int(cfg.training.log_every_n_steps)
+        val_every = cfg.training.validation_dataset.validation_every_n_steps
+        epoch = 0
+        last_val = float("nan")
+        stop = False
+
+        while not stop:
+            epoch_t0 = time.perf_counter()
+            for batch in self.train_loader:
+                opt_step = int(self.state.step)
+                lr = self.schedule(opt_step)
+                self.state = self.state.replace(
+                    opt_state=set_learning_rate(self.state.opt_state, lr)
+                )
+                t0 = time.perf_counter()
+                self.state, m = self.train_step(self.state, batch, num_common)
+                loss = float(m["loss"])
+                dt = time.perf_counter() - t0
+
+                step = int(self.state.step)
+                if loss > 10 or not np.isfinite(loss):
+                    raise NaNLossError(
+                        f"NaN/diverged training loss {loss} at step {step}"
+                    )
+                if step % log_every == 0 or step == 1:
+                    bsz = batch["input"].shape[0]
+                    self.metrics.log(step, {
+                        "train_loss": loss,
+                        "lr": lr,
+                        "dt": dt,
+                        "samples_per_sec": bsz / max(dt, 1e-9),
+                        "grad_norm": float(m["grad_norm"]),
+                        "forecast_steps": batch["target"].shape[1],
+                    })
+                if self._checkpointing:
+                    self.ckpt.maybe_save_step(step, self._state_dict())
+                if val_every and step and step % int(val_every) == 0:
+                    last_val = self._validate(step)
+                    stop = stop or self._early_stop_check(last_val)
+                if step >= self.max_steps:
+                    stop = True
+                if stop:
+                    break
+
+            epoch += 1
+            if not stop or np.isnan(last_val):
+                last_val = self._validate(int(self.state.step))
+                stop = stop or self._early_stop_check(last_val)
+            if self.plateau is not None:
+                self.plateau.update(last_val)
+            if self._checkpointing:
+                self.ckpt.save_epoch(epoch, self._state_dict())
+                self.ckpt.maybe_save_best(last_val, self._state_dict())
+            max_epochs = int(self.cfg.training.max_epochs)
+            if max_epochs > 0 and epoch >= max_epochs:
+                stop = True
+            log.info("epoch %d done in %.2fs val_loss=%.6f",
+                     epoch, time.perf_counter() - epoch_t0, last_val)
+
+        return {"steps": int(self.state.step), "epochs": epoch, "val_loss": last_val}
+
+    def _validate(self, step: int) -> float:
+        limit = self.cfg.training.validation_dataset.validation_batches
+        num_common = self.val_ds.num_common_features
+        losses, reports = [], []
+        for i, batch in enumerate(self.val_loader):
+            if limit is not None and i >= int(limit):
+                break
+            out = self.eval_step(self.state.params, batch, num_common)
+            losses.append(float(out["loss"]))
+            if "report_rmse" in out:
+                reports.append(np.asarray(out["report_rmse"]))
+        if not losses:
+            return float("nan")
+        val = float(np.mean(losses))
+        payload = {"val_loss": val}
+        if reports:
+            mean_rep = np.mean(reports, axis=0)
+            for name, value in zip(self.report_features, mean_rep):
+                payload[name] = float(value)
+        self.metrics.log(step, payload)
+        return val
+
+    def _early_stop_check(self, val_loss: float) -> bool:
+        if not self._early_stopping or np.isnan(val_loss):
+            return False
+        if not np.isfinite(val_loss) or val_loss > 1.5:  # divergence_threshold
+            log.warning("early stopping: divergent val_loss %.4f", val_loss)
+            return True
+        if val_loss < self._es_best:
+            self._es_best = val_loss
+            self._es_bad = 0
+            return False
+        self._es_bad += 1
+        if self._es_bad >= self._es_patience:
+            log.info("early stopping: no improvement for %d validations",
+                     self._es_bad)
+            return True
+        return False
+
+    def _state_dict(self):
+        return self.state

@@ -46,6 +46,8 @@ def toy_config(root_dir: Path, **overrides):
     cfg.training.validation_dataset.end_date = "2000-01-07"
     cfg.training.max_steps = 4
     cfg.training.log_every_n_steps = 1
+    cfg.training.scheduler.wsd.warmup = 1
+    cfg.training.scheduler.wsd.decay = 1
     cfg.compute.use_amp = False
     for k, v in overrides.items():
         cfg.set_path(k, v)

@@ -1,0 +1,140 @@
+"""The minimum end-to-end slice (SURVEY.md §7 milestone 4):
+synthetic store → train N steps with decreasing loss → multi-step forecast
+written to a WB2-layout zarr — all on CPU."""
+
+import numpy as np
+import pytest
+
+from paradis_tpu.data import zarrlite
+from paradis_tpu.data.dataset import ERA5Dataset
+from paradis_tpu.data.pipeline import BatchLoader
+from paradis_tpu.train.loop import Trainer
+
+from fixtures import TOY_LEVELS, TOY_NLAT, TOY_NLON, build_toy_store, toy_config
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    return build_toy_store(tmp_path_factory.mktemp("e2e"))
+
+
+@pytest.fixture(scope="module")
+def trained(store, tmp_path_factory):
+    log_dir = tmp_path_factory.mktemp("logs")
+    cfg = toy_config(store, **{
+        "training.max_steps": 6,
+        "training.optimizer.name": "adamw",
+        "training.optimizer.lr": 2e-3,
+        "training.scheduler.wsd.warmup": 2,
+        "training.scheduler.wsd.decay": 1,
+    })
+    trainer = Trainer(cfg, log_dir=str(log_dir))
+    result = trainer.fit()
+    return trainer, result, log_dir
+
+
+def test_training_runs_and_loss_decreases(trained):
+    trainer, result, log_dir = trained
+    assert result["steps"] == 6
+    assert np.isfinite(result["val_loss"])
+    rows = (log_dir / "metrics.csv").read_text().strip().splitlines()
+    losses = [float(r.split(",")[2]) for r in rows if ",train_loss," in r]
+    assert len(losses) >= 2
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoints_written(trained):
+    trainer, _, log_dir = trained
+    ck = log_dir / "checkpoints"
+    assert (ck / "epochs").exists() and any((ck / "epochs").iterdir())
+    assert (ck / "best" / "best").exists()
+    assert (log_dir / "config.yaml").exists()
+
+
+def test_resume_from_checkpoint(trained, store, tmp_path_factory):
+    trainer, _, log_dir = trained
+    epochs = sorted((log_dir / "checkpoints" / "epochs").iterdir())
+    cfg = toy_config(store, **{
+        "training.max_steps": 8,
+        "training.optimizer.name": "adamw",
+        "init.restart": True,
+        "init.checkpoint_path": str(epochs[-1]),
+    })
+    t2 = Trainer(cfg, log_dir=str(tmp_path_factory.mktemp("logs2")))
+    assert int(t2.state.step) == 6  # resumed optimizer step
+    result = t2.fit()
+    assert result["steps"] == 8
+
+
+def test_weights_only_load(trained, store, tmp_path_factory):
+    trainer, _, log_dir = trained
+    epochs = sorted((log_dir / "checkpoints" / "epochs").iterdir())
+    cfg = toy_config(store, **{
+        "training.max_steps": 2,
+        "training.optimizer.name": "adamw",
+        "training.scheduler.wsd.warmup": 1,
+        "training.scheduler.wsd.decay": 1,
+        "init.restart": False,
+        "init.checkpoint_path": str(epochs[-1] / "params"),
+    })
+    # weights-only restore starts the step counter fresh but carries weights
+    t2 = Trainer(cfg, log_dir=str(tmp_path_factory.mktemp("logs3")))
+    assert int(t2.state.step) == 0
+    import jax
+
+    for loaded, trained_leaf in zip(jax.tree.leaves(t2.state.params),
+                                    jax.tree.leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(loaded), np.asarray(trained_leaf))
+
+
+def test_forecast_writes_wb2_store(trained, store, tmp_path_factory):
+    trainer, _, log_dir = trained
+    out = tmp_path_factory.mktemp("fc") / "forecast.zarr"
+
+    cfg = toy_config(store, **{
+        "model.forecast_steps": 3,
+        "forecast.enable": True,
+        "forecast.output_file": str(out),
+        "forecast.write_every_n": 2,
+    })
+    from paradis_tpu.forecast.rollout import run_forecast
+    from paradis_tpu.forecast.writer import ZarrForecastWriter
+    from paradis_tpu.model.paradis import Paradis
+    import jax.numpy as jnp
+
+    dataset = ERA5Dataset(str(store), "2000-01-03", "2000-01-05",
+                          forecast_steps=3, cfg=cfg, prediction_stage=True)
+    model = Paradis.from_config(cfg, input_dim=dataset.num_in_features,
+                                output_dim=dataset.num_out_features,
+                                lat_deg=dataset.lat, lon_deg=dataset.lon,
+                                dtype=jnp.float32)
+    writer = ZarrForecastWriter(cfg, dataset)
+    loader = BatchLoader(dataset, 2, shuffle=False, drop_last=False)
+    run_forecast(model, trainer.state.params, dataset, cfg, writer, loader)
+
+    g = zarrlite.open_store(out)
+    z = g["geopotential"]
+    n_init = len(dataset)
+    assert z.shape == (n_init, 4, len(TOY_LEVELS), TOY_NLAT, TOY_NLON)
+    vals = z[...]
+    assert np.isfinite(vals).all()
+    # denormalized geopotential magnitudes, not z-scores
+    assert np.abs(vals).mean() > 100.0
+
+    t2m = g["2m_temperature"][...]
+    assert t2m.shape == (n_init, 4, TOY_NLAT, TOY_NLON)
+    assert 150 < np.nanmean(t2m) < 400
+
+    # winds were converted to spherical names
+    assert "u_component_of_wind" in g.arrays()
+    assert "10m_u_component_of_wind" in g.arrays()
+    assert "wind_x" not in g.arrays()
+    # derived field present and capped at 30 K
+    dd = g["dewpoint_depression"][...]
+    assert np.nanmax(dd) <= 30.0 + 1e-3
+    # precipitation output-only channel: NaN at init state, finite afterwards
+    tp = g["total_precipitation_6hr"][...]
+    assert np.isnan(tp[:, 0]).all()
+    assert np.isfinite(tp[:, 1:]).all()
+    # constants copied
+    assert "land_sea_mask" in g.arrays()
