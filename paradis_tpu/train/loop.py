@@ -173,6 +173,7 @@ class Trainer:
                     raise NaNLossError(
                         f"NaN/diverged training loss {loss} at step {step}"
                     )
+                self._profiler_tick(step)
                 if step % log_every == 0 or step == 1:
                     bsz = batch["input"].shape[0]
                     self.metrics.log(step, {
@@ -183,6 +184,8 @@ class Trainer:
                         "grad_norm": float(m["grad_norm"]),
                         "forecast_steps": batch["target"].shape[1],
                     })
+                    if "grads" in m:
+                        self._log_deep_stats(step, m)
                 if self._checkpointing:
                     self.ckpt.maybe_save_step(step, self._state_dict())
                 if val_every and step and step % int(val_every) == 0:
@@ -231,6 +234,47 @@ class Trainer:
                 payload[name] = float(value)
         self.metrics.log(step, payload)
         return val
+
+    def _profiler_tick(self, step: int) -> None:
+        """jax.profiler trace window around the configured steps."""
+        pcfg = self.cfg.training.get("profiler", None)
+        if not pcfg or not pcfg.get("enabled"):
+            return
+        start = int(pcfg.get("start_step", 10))
+        num = int(pcfg.get("num_steps", 5))
+        if step == start:
+            jax.profiler.start_trace(str(self.log_dir / "profile"))
+            self._profiling = True
+        elif getattr(self, "_profiling", False) and step >= start + num:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            log.info("profiler trace written to %s", self.log_dir / "profile")
+
+    def _log_deep_stats(self, step: int, m: dict) -> None:
+        """Per-module grad/param stats + per-channel losses
+        (reference trainer.py:520-617, 844-923)."""
+        from paradis_tpu.utils.logging import grad_statistics
+
+        momentum = None
+        # first moment lives in the optimizer chain state (adam mu / muon buf)
+        for node in jax.tree_util.tree_leaves(
+            self.state.opt_state, is_leaf=lambda x: hasattr(x, "_fields")
+        ):
+            if hasattr(node, "mu"):
+                momentum = node.mu
+                break
+            if hasattr(node, "momentum"):
+                momentum = node.momentum
+                break
+        stats = grad_statistics(m["grads"], self.state.params, momentum)
+        names = self.train_ds.dyn_output_features
+        for key in ("channel_loss_weighted", "channel_loss_unweighted"):
+            if key in m:
+                vals = np.asarray(m[key])
+                prefix = "train_loss_channel_" + key.rsplit("_", 1)[-1]
+                stats.update({f"{prefix}/{n}": float(v)
+                              for n, v in zip(names, vals)})
+        self.metrics.log(step, stats)
 
     def _early_stop_check(self, val_loss: float) -> bool:
         if not self._early_stopping or np.isnan(val_loss):

@@ -92,11 +92,14 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
     """Build (jitted train_step, optimizer).
 
     ``train_step(state, batch, num_common) -> (state, metrics)`` where
-    metrics = {loss, loss_per_step, grad_norm, applied}.
+    metrics = {loss, loss_per_step, grad_norm, applied} plus, when
+    ``training.log_additional_stats`` is on, the raw gradient tree and
+    per-channel weighted/unweighted losses (reference trainer.py:520-617).
     """
     n_time = int(cfg.dataset.n_time_inputs)
     grad_accum = int(cfg.training.get("accumulate_grad_batches", 1))
     detach_every = cfg.training.optimizer.get("detach_gradient_every", None)
+    deep_stats = bool(cfg.training.get("log_additional_stats", False))
 
     def step_fn(state: TrainState, batch: dict, num_common_features: int):
         dyn_input = batch["input"]
@@ -167,6 +170,19 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
             "grad_norm": gnorm,
             "applied": should_apply,
         }
+        if deep_stats:
+            metrics["grads"] = grads
+            # per-channel diagnostics from a step-0 forward (cheap, explicit)
+            model_in = jnp.concatenate(
+                [dyn_input, forcings[:, 0],
+                 jnp.broadcast_to(constants, forcings[:, 0].shape[:1] + constants.shape[1:])],
+                axis=-1,
+            )
+            out0 = model.apply(state.params, model_in)
+            metrics["channel_loss_weighted"] = loss_fn.per_channel(
+                out0, targets[:, 0], weighted=True)
+            metrics["channel_loss_unweighted"] = loss_fn.per_channel(
+                out0, targets[:, 0], weighted=False)
         return new_state, metrics
 
     jitted = jax.jit(
