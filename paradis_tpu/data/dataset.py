@@ -322,8 +322,13 @@ class ERA5Dataset:
             if len(self.norm_humidity_in):
                 block[..., self.norm_humidity_in] = normalize_humidity(
                     block[..., self.norm_humidity_in], self.q_min, self.q_max, self.eps)
-        block[..., self.norm_zscore_in] = normalize_standard(
-            block[..., self.norm_zscore_in], self.input_mean, self.input_std)
+        from paradis_tpu.data import native
+
+        if not native.zscore_normalize_inplace(
+            block, self.norm_zscore_in, self.input_mean, self.input_std
+        ):
+            block[..., self.norm_zscore_in] = normalize_standard(
+                block[..., self.norm_zscore_in], self.input_mean, self.input_std)
         return block
 
     def _normalize_output(self, y: np.ndarray) -> np.ndarray:
@@ -349,7 +354,9 @@ class ERA5Dataset:
         for arr, n in self._stores:
             s_lo, s_hi = max(lo, offset), min(hi, offset + n)
             if s_lo < s_hi:
-                out[pos : pos + (s_hi - s_lo)] = arr[s_lo - offset : s_hi - offset]
+                out[pos : pos + (s_hi - s_lo)] = arr.read_first_axis_batch(
+                    s_lo - offset, s_hi - offset
+                )
                 pos += s_hi - s_lo
             offset += n
         return out

@@ -241,6 +241,47 @@ class Array:
         out = self[...]
         return out.astype(dtype) if dtype is not None else out
 
+    def read_first_axis_batch(self, lo: int, hi: int) -> np.ndarray:
+        """Fast batched read of rows [lo, hi) for arrays chunked 1 on axis 0.
+
+        Uses the native multithreaded zlib decoder (csrc/host_ops.cpp) when
+        available; falls back to per-row ``__getitem__``.
+        """
+        fastable = (
+            self.chunks[0] == 1
+            and self.chunks[1:] == self.shape[1:]
+            and not self.filters
+            and (self.compressor is None or self.compressor.get("id") == "zlib")
+        )
+        if fastable:
+            from paradis_tpu.data import native
+
+            blobs = []
+            for i in range(lo, hi):
+                p = self._chunk_path((i,) + (0,) * (self.ndim - 1))
+                blobs.append(p.read_bytes() if p.exists() else None)
+            chunk_bytes = int(np.prod(self.chunks)) * self.dtype.itemsize
+            if self.compressor is None:
+                out = np.empty((hi - lo,) + self.shape[1:], self.dtype)
+                flat = out.reshape(hi - lo, -1)
+                for i, b in enumerate(blobs):
+                    if b is None:
+                        flat[i] = self.fill_value
+                    else:
+                        flat[i] = np.frombuffer(b, self.dtype)
+                return out
+            buf = np.full((hi - lo) * chunk_bytes, 0, np.uint8)
+            if any(b is None for b in blobs):
+                fill = np.full(self.chunks, self.fill_value, self.dtype)
+                view = buf.view(self.dtype).reshape((hi - lo,) + self.chunks)
+                for i, b in enumerate(blobs):
+                    if b is None:
+                        view[i] = fill
+            decoded = native.zlib_decode_many(blobs, chunk_bytes, out=buf)
+            if decoded is not None:
+                return decoded.view(self.dtype).reshape((hi - lo,) + self.shape[1:])
+        return np.stack([self[i] for i in range(lo, hi)])
+
 
 def create_array(path: str | Path, shape, chunks=None, dtype=np.float32,
                  compressor: dict | None = None, filters: list | None = None,
