@@ -114,10 +114,11 @@ def _dense_impl(field: jnp.ndarray, pix_y: jnp.ndarray, pix_x: jnp.ndarray,
     wx = _kernel_dense(px[..., None] - cols, mode).astype(cdt)      # [B,P,V,C]
 
     fieldT = jnp.moveaxis(field, -1, 1).astype(cdt)                  # [B,V,R,C]
-    # batched matmul over (B,V): [P,R] @ [R,C] -> [P,C]
+    # batched matmul over (B,V): [P,R] @ [R,C] -> [P,C].  MXU accumulates in
+    # fp32 internally; emitting t in the compute dtype halves its HBM traffic.
     t = jnp.einsum("bpvr,bvrc->bpvc", wy, fieldT,
-                   preferred_element_type=jnp.float32)
-    out = jnp.sum(wx.astype(jnp.float32) * t, axis=-1)               # [B,P,V]
+                   preferred_element_type=cdt)
+    out = jnp.sum(wx.astype(jnp.float32) * t.astype(jnp.float32), axis=-1)
     return out.reshape(B, H, W, V).astype(out_dtype)
 
 
