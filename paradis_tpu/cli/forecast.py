@@ -27,6 +27,8 @@ def parse_args(argv=None):
     p.add_argument("--start-date", type=str, default=None)
     p.add_argument("--end-date", type=str, default=None)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--num-devices", type=int, default=1,
+                   help="data-parallel devices for the forecast rollout")
     p.add_argument("--write-every-n", type=int, default=10)
     p.add_argument("overrides", nargs="*", help="key.path=value overrides")
     return p.parse_args(argv)
@@ -75,9 +77,17 @@ def main(argv=None):
     )
     params = load_params(args.checkpoint_path, params)
 
+    mesh = None
+    if args.num_devices > 1:
+        from paradis_tpu.distributed import create_mesh
+
+        mesh = create_mesh(data=args.num_devices, space=1,
+                           devices=jax.devices()[: args.num_devices])
     writer = ZarrForecastWriter(cfg, dataset)
-    loader = BatchLoader(dataset, args.batch_size, shuffle=False, drop_last=False)
-    run_forecast(model, params, dataset, cfg, writer, loader)
+    loader = BatchLoader(dataset, args.batch_size * max(1, args.num_devices),
+                         shuffle=False, drop_last=False,
+                         device_put=(mesh is None))
+    run_forecast(model, params, dataset, cfg, writer, loader, mesh=mesh)
     print(f"forecast written: {args.output_file}")
 
 

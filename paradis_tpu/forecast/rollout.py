@@ -48,17 +48,38 @@ def make_forecast_rollout(model, cfg):
     return rollout
 
 
-def run_forecast(model, params, dataset, cfg, writer, batch_loader) -> None:
-    """Forecast every sample of ``dataset`` and write the WB2 store."""
+def run_forecast(model, params, dataset, cfg, writer, batch_loader,
+                 mesh=None) -> None:
+    """Forecast every sample of ``dataset`` and write the WB2 store.
+
+    With a ``mesh``, init times are sharded over the ``data`` axis (the
+    reference's multi-device inference DP, forecast.py:49-50); region writes
+    stay disjoint by construction.  Ragged final batches are padded to the
+    mesh size and the padding dropped before writing.
+    """
     rollout = make_forecast_rollout(model, cfg)
     writer.init_store(dataset)
     write_every = int(cfg.forecast.get("write_every_n") or writer.stored_steps)
 
+    if mesh is not None:
+        from paradis_tpu.distributed import replicate, shard_batch
+
+        params = replicate(params, mesh)
+        n_data = mesh.shape.get("data", 1)
+
     for batch in batch_loader:
         sample_idx = np.asarray(batch.pop("index"))
+        n_real = len(sample_idx)
+        if mesh is not None:
+            pad_to = -(-n_real // n_data) * n_data
+            if pad_to != n_real:
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], pad_to - n_real, axis=0)])
+                    for k, v in batch.items()}
+            batch = shard_batch(batch, mesh)
         stored = np.asarray(
             rollout(params, batch, dataset.num_common_features)
-        )  # [B, T_stored, H, W, C]
+        )[:n_real]  # [B, T_stored, H, W, C]
         stored = np.moveaxis(stored, -1, 2)  # [B, T_stored, C, H, W]
         t_total = stored.shape[1]
         for lo in range(0, t_total, write_every):

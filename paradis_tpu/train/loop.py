@@ -83,10 +83,12 @@ class Trainer:
             lat_deg=ds.lat,
             lon_deg=ds.lon,
         )
-        self.loss_fn = WeightedLoss.from_config(cfg, ds.lat, ds.dyn_output_features)
+        self.loss_fn = WeightedLoss.from_config(cfg, ds.lat, ds.dyn_output_features,
+                                                nlon=ds.lon_size)
         val_kind = cfg.training.loss_function.get("validation_loss", None)
         self.val_loss_fn = (
-            WeightedLoss.from_config(cfg, ds.lat, ds.dyn_output_features, kind=val_kind)
+            WeightedLoss.from_config(cfg, ds.lat, ds.dyn_output_features,
+                                     kind=val_kind, nlon=ds.lon_size)
             if val_kind else self.loss_fn
         )
 

@@ -80,7 +80,8 @@ class WeightedLoss:
 
     @classmethod
     def from_config(cls, cfg, lat_deg: np.ndarray, output_name_order: list[str],
-                    kind: Optional[str] = None) -> "WeightedLoss":
+                    kind: Optional[str] = None,
+                    nlon: Optional[int] = None) -> "WeightedLoss":
         kind = kind or cfg.training.loss_function.type
         levels = np.asarray(cfg.features.pressure_levels, np.float32)
         n_levels = len(levels)
@@ -103,8 +104,16 @@ class WeightedLoss:
         if kind == "amse":
             from paradis_tpu.train.amse import AMSELoss
 
+            # the reference derives nlon as 2*(nlat-1) (utils/loss.py:94),
+            # which only matches pole-inclusive grids; use the true lon count
             nlat = len(lat_deg)
-            amse = AMSELoss(nlat=nlat, nlon=2 * (nlat - 1))
+            lat_arr = np.asarray(lat_deg, np.float64)
+            includes_poles = abs(lat_arr.min() + 90) < 1e-6 and abs(lat_arr.max() - 90) < 1e-6
+            amse = AMSELoss(
+                nlat=nlat,
+                nlon=int(nlon) if nlon else 2 * (nlat - 1),
+                includes_poles=includes_poles,
+            )
         elif kind not in ("mse", "reversed_huber"):
             raise ValueError(
                 f"{kind} not supported, choose between [reversed_huber, mse, amse]"

@@ -30,6 +30,10 @@ def setup_system(cfg) -> None:
     if not cfg.compute.use_amp:
         jax.config.update("jax_default_matmul_precision", "highest")
 
+    # sanitizer analogue (SURVEY.md §5): trap NaNs at the op level
+    if cfg.compute.get("debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+
     # steps/epochs sanity (reference utils/system.py:25-28)
     if int(cfg.training.max_steps) <= 0 and int(cfg.training.max_epochs) <= 0:
         raise ValueError("one of training.max_steps / training.max_epochs must be set")

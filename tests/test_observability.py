@@ -29,6 +29,20 @@ def test_log_additional_stats(store, tmp_path_factory):
     assert "train_loss_channel_weighted/geopotential_h500" in text
 
 
+def test_amse_training_smoke(store, tmp_path_factory):
+    """Training with the spectral AMSE loss runs end-to-end on the toy grid."""
+    from paradis_tpu.train.loop import Trainer
+
+    cfg = toy_config(store, **{
+        "training.max_steps": 2,
+        "training.optimizer.name": "adamw",
+        "training.loss_function.type": "amse",
+    })
+    t = Trainer(cfg, log_dir=str(tmp_path_factory.mktemp("amse_logs")))
+    res = t.fit()
+    assert np.isfinite(res["val_loss"])
+
+
 def test_evaluate_forecast_store(store, tmp_path_factory):
     """Perfect-forecast store scores ~0 RMSE; biased forecast scores the bias."""
     import jax.numpy as jnp
