@@ -92,6 +92,9 @@ class BatchLoader:
                         for k, v in batch.items():
                             if k == "index":
                                 put[k] = v
+                            elif isinstance(self.sharding, dict):
+                                put[k] = jax.device_put(v, self.sharding[k]) \
+                                    if k in self.sharding else jax.device_put(v)
                             elif self.sharding is not None:
                                 put[k] = jax.device_put(v, self.sharding)
                             else:

@@ -1,0 +1,173 @@
+"""Reference-checkpoint migration: torch ``.ckpt``/state_dict → JAX params.
+
+Lets a user of the reference PyTorch framework bring trained weights
+directly into paradis_tpu.  Handles the reference's Lightning key layout
+(``model.`` prefix, ``._orig_mod.`` compile prefixes — trainer.py:67-75),
+maps every module onto our flax tree, restacks the per-layer modules onto the
+``nn.scan`` leading axis, and converts torch weight layouts
+(Conv2d ``[out,in,kh,kw]`` → Dense ``[in,out]`` / depthwise ``[k,k,1,C]``,
+Linear ``[out,in]`` → ``[in,out]``).
+
+Usage:
+    params = convert_torch_checkpoint("ref.ckpt", params_template)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+
+def _strip_prefixes(key: str) -> str:
+    key = key.replace("._orig_mod.", ".")
+    if key.startswith("_orig_mod."):
+        key = key[len("_orig_mod."):]
+    if key.startswith("model."):
+        key = key[len("model."):]
+    return key
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def _conv1x1_to_dense(w) -> np.ndarray:
+    """torch Conv2d 1x1 [out,in,1,1] → flax Dense kernel [in,out]."""
+    w = _np(w)
+    return w[:, :, 0, 0].T.copy()
+
+
+def _depthwise_to_flax(w) -> np.ndarray:
+    """torch depthwise [C,1,k,k] → flax [k,k,1,C]."""
+    return np.transpose(_np(w), (2, 3, 1, 0)).copy()
+
+
+def _gmblock_entry(mod: str, rest: list[str], value) -> tuple[list[str], np.ndarray] | None:
+    """Map one reference GMBlock state-dict entry to our subtree path."""
+    leaf = rest[-1]
+    if mod.endswith("-ChannelNorm"):
+        idx = mod.split("-")[0]
+        # the pre-norm is registered as "0-ChannelNorm" before layer 0;
+        # disambiguated by the caller passing pre_normalize info — here we
+        # rely on our naming: pre-norm is the only norm when layers have no
+        # ChannelNorm entries (true for every reference config)
+        return (["pre_norm", leaf], _np(value))
+    if mod.endswith("-CLinear"):
+        idx = mod.split("-")[0]
+        name = f"layer{idx}_CLinear"
+        if leaf == "weight":
+            return ([name, "conv", "kernel"], _conv1x1_to_dense(value))
+        return ([name, "conv", "bias"], _np(value))
+    if mod.endswith("-SepConv"):
+        idx = mod.split("-")[0]
+        name = f"layer{idx}_SepConv"
+        sub = rest[0]
+        if sub == "depthwise":
+            return ([name, "depthwise", "kernel"], _depthwise_to_flax(value))
+        if sub == "pointwise":
+            if leaf == "weight":
+                return ([name, "pointwise", "kernel"], _conv1x1_to_dense(value))
+            return ([name, "pointwise", "bias"], _np(value))
+    if mod.endswith("-GlobalBias"):
+        if leaf in ("A", "U", "V"):
+            return (["bias0_GlobalBias", leaf], _np(value))
+        if rest[0] == "projection":
+            return (["bias0_GlobalBias", "projection"], _np(value).T.copy())
+    return None
+
+
+_STATIC_ENCODER = {
+    ("0", "depthwise", "weight"): (["static_sepconv1", "depthwise", "kernel"],
+                                   _depthwise_to_flax),
+    ("0", "pointwise", "weight"): (["static_sepconv1", "pointwise", "kernel"],
+                                   _conv1x1_to_dense),
+    ("0", "pointwise", "bias"): (["static_sepconv1", "pointwise", "bias"], _np),
+    ("3", "weight"): (["static_depthwise", "kernel"], _depthwise_to_flax),
+    ("3", "bias"): (["static_depthwise", "bias"], _np),
+    ("5", "depthwise", "weight"): (["static_sepconv2", "depthwise", "kernel"],
+                                   _depthwise_to_flax),
+    ("5", "pointwise", "weight"): (["static_sepconv2", "pointwise", "kernel"],
+                                   _conv1x1_to_dense),
+    ("5", "pointwise", "bias"): (["static_sepconv2", "pointwise", "bias"], _np),
+}
+
+_LAYER_MODULES = {"velocity_nets": "velocity_net", "diffusion": "diffusion",
+                  "reaction": "reaction"}
+
+
+def torch_state_dict_to_params(state_dict: dict, params_template: dict) -> dict:
+    """Convert a reference state_dict into our params tree (template shapes)."""
+    from copy import deepcopy
+
+    out = deepcopy(jax_to_numpy(params_template))
+    p = out["params"]
+    per_layer: dict[tuple, dict[int, np.ndarray]] = {}
+
+    def set_path(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        expected = np.shape(node[path[-1]])
+        if tuple(expected) != tuple(np.shape(value)):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: checkpoint "
+                f"{np.shape(value)} vs model {expected}"
+            )
+        node[path[-1]] = value
+
+    for raw_key, value in state_dict.items():
+        key = _strip_prefixes(raw_key)
+        parts = key.split(".")
+        head = parts[0]
+
+        if head == "alpha_adv":
+            set_path(p, ["layers", "alpha_adv"], _np(value))
+        elif head in ("input_proj", "output_proj"):
+            mapped = _gmblock_entry(parts[1], parts[2:], value)
+            if mapped:
+                set_path(p, [head] + mapped[0], mapped[1])
+        elif head == "static_encoder":
+            spec = _STATIC_ENCODER.get(tuple(parts[1:]))
+            if spec:
+                path, fn = spec
+                set_path(p, path, fn(value))
+        elif head in _LAYER_MODULES:
+            i = int(parts[1])
+            mapped = _gmblock_entry(parts[2], parts[3:], value)
+            if mapped:
+                per_layer.setdefault(
+                    ("layers", _LAYER_MODULES[head], *mapped[0]), {})[i] = mapped[1]
+        elif head == "advection":
+            i = int(parts[1])
+            proj = parts[2]  # down_projection | up_projection
+            mapped = _gmblock_entry(parts[3], parts[4:], value)
+            if mapped:
+                per_layer.setdefault(
+                    ("layers", "advection", proj, *mapped[0]), {})[i] = mapped[1]
+        # buffers (lat_grid etc.) and anything else are intentionally skipped
+
+    for path, by_layer in per_layer.items():
+        n = max(by_layer) + 1
+        stacked = np.stack([by_layer[i] for i in range(n)])
+        set_path(p, list(path), stacked)
+
+    return out
+
+
+def jax_to_numpy(tree):
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def convert_torch_checkpoint(path: str, params_template: dict) -> dict:
+    """Load a reference ``.ckpt`` (or raw state_dict file) and convert."""
+    import torch
+
+    loaded = torch.load(path, map_location="cpu", weights_only=False)
+    sd = loaded.get("state_dict", loaded) if isinstance(loaded, dict) else loaded
+    return torch_state_dict_to_params(sd, params_template)

@@ -67,12 +67,27 @@ class Trainer:
             time_interval=cfg.dataset.sampling_interval,
             preload=bool(cfg.training.validation_dataset.preload),
         )
-        bs = int(cfg.compute.batch_size)
+        # device mesh: data-parallel batches + optional longitude sharding
+        # (the reference's DDP analogue; reference train.py:44-49)
+        self.mesh = None
+        n_devices = int(cfg.compute.get("num_devices", 1))
+        n_space = int(cfg.compute.get("spatial_devices", 1))
+        if n_devices * n_space > 1:
+            from paradis_tpu.distributed import batch_shardings, mesh_from_config
+
+            self.mesh = mesh_from_config(cfg)
+            log.info("device mesh: %s", dict(self.mesh.shape))
+
+        bs = int(cfg.compute.batch_size)  # per data-shard, like the reference
+        if self.mesh is not None:
+            bs *= self.mesh.shape["data"]
+        shardings = batch_shardings(self.mesh) if self.mesh is not None else None
         self.train_loader = BatchLoader(
             self.train_ds, bs, shuffle=True, seed=int(cfg.init.get("seed") or 0),
-            drop_last=True,
+            drop_last=True, sharding=shardings,
         )
-        self.val_loader = BatchLoader(self.val_ds, bs, shuffle=False, drop_last=True)
+        self.val_loader = BatchLoader(self.val_ds, bs, shuffle=False, drop_last=True,
+                                      sharding=shardings)
 
         # -- model/loss/optimizer ---------------------------------------------
         ds = self.train_ds
@@ -121,6 +136,10 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, self.val_loss_fn, cfg, report)
 
         self.state = create_train_state(params, self.optimizer)
+        if self.mesh is not None:
+            from paradis_tpu.distributed import replicate
+
+            self.state = replicate(self.state, self.mesh)
 
         # -- schedule / checkpoints / logging ----------------------------------
         max_steps = int(cfg.training.max_steps)
