@@ -128,9 +128,20 @@ class Trainer:
         if cfg.training.reports.enable and ds.report_stats is not None:
             self.report_features = list(cfg.training.reports.features)
             idx = [ds.dyn_output_features.index(f) for f in self.report_features]
+            kinds = []
+            for f in self.report_features:
+                if ds.custom_normalization and "specific_humidity" in f:
+                    kinds.append("humidity")
+                elif ds.custom_normalization and "precipitation" in f:
+                    kinds.append("precip")
+                else:
+                    kinds.append("zscore")
             report = {
                 "indices": np.asarray(idx),
                 "std": ds.report_stats["std"],
+                "kinds": kinds,
+                "q_min": float(ds.q_min),
+                "q_max": float(max(ds.q_max, ds.q_min * 2)),
                 "lat_weights": latitude_weights(ds.lat).astype(np.float32),
             }
         self.eval_step = make_eval_step(self.model, self.val_loss_fn, cfg, report)
@@ -158,6 +169,7 @@ class Trainer:
         save_run_snapshot(self.log_dir, cfg)
         self.metrics.log(0, {"model/num_parameters": n_params})
 
+        self.print_losses = bool(cfg.training.get("print_losses", False))
         es = cfg.training.early_stopping
         self._early_stopping = bool(es.enabled)
         self._es_patience = int(es.patience)
@@ -175,6 +187,16 @@ class Trainer:
         epoch = 0
         last_val = float("nan")
         stop = False
+
+        pbar = None
+        if cfg.training.progress_bar and not cfg.training.print_losses:
+            try:  # step-global progress bar (reference utils/callbacks.py:8-128)
+                from tqdm import tqdm
+
+                pbar = tqdm(total=self.max_steps, initial=int(self.state.step),
+                            desc="train", unit="step")
+            except ImportError:
+                pbar = None
 
         while not stop:
             epoch_t0 = time.perf_counter()
@@ -195,6 +217,11 @@ class Trainer:
                         f"NaN/diverged training loss {loss} at step {step}"
                     )
                 self._profiler_tick(step)
+                if pbar is not None:
+                    pbar.n = step
+                    pbar.set_postfix(train_loss=f"{loss:.4f}", lr=f"{lr:.2e}",
+                                     refresh=False)
+                    pbar.refresh()
                 if step % log_every == 0 or step == 1:
                     bsz = batch["input"].shape[0]
                     self.metrics.log(step, {
@@ -231,7 +258,15 @@ class Trainer:
                 stop = True
             log.info("epoch %d done in %.2fs val_loss=%.6f",
                      epoch, time.perf_counter() - epoch_t0, last_val)
+            if self.print_losses:
+                print(
+                    f"Epoch {epoch:4d} | Val Loss: {last_val:.6f} | "
+                    f"LR: {self.schedule(int(self.state.step)):.2e} | "
+                    f"Elapsed time: {time.perf_counter() - epoch_t0:.4f}s"
+                )
 
+        if pbar is not None:
+            pbar.close()
         return {"steps": int(self.state.step), "epochs": epoch, "val_loss": last_val}
 
     def _validate(self, step: int) -> float:

@@ -197,11 +197,36 @@ def make_eval_step(model, loss_fn, cfg,
                    report: Optional[dict] = None) -> Callable:
     """Validation rollout: mean loss + optional denormalized report RMSEs.
 
-    ``report`` carries {"indices": [R] output-channel indices,
-    "std": [R] denorm stds, "lat_weights": [H]} for the reference's
-    ``_get_report_rmse`` (``trainer.py:291-315``, z-score variables).
+    ``report`` carries {"indices": [R] output-channel indices, "std": [R]
+    denorm stds, "lat_weights": [H]} plus optionally {"kinds": [R] of
+    "zscore"|"humidity"|"precip", "q_min", "q_max"} so humidity/precipitation
+    report channels use their physical denormalizations, matching the
+    reference's ``_get_report_rmse`` (``trainer.py:291-315``).
     """
     n_time = int(cfg.dataset.n_time_inputs)
+
+    def _denorm_report(vals, r):
+        """vals [..., R] normalized → physical units per report channel."""
+        from paradis_tpu.utils.normalization import (
+            denormalize_humidity,
+            denormalize_precipitation,
+        )
+
+        kinds = report.get("kinds")
+        if kinds is None:
+            return vals * jnp.asarray(report["std"], jnp.float32)
+        cols = []
+        for j, kind in enumerate(kinds):
+            col = vals[..., j]
+            if kind == "humidity":
+                col = denormalize_humidity(col, jnp.float32(report["q_min"]),
+                                           jnp.float32(report["q_max"]))
+            elif kind == "precip":
+                col = denormalize_precipitation(col)
+            else:
+                col = col * jnp.float32(report["std"][j])
+            cols.append(col)
+        return jnp.stack(cols, axis=-1)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def eval_fn(params, batch, num_common_features: int):
@@ -221,12 +246,11 @@ def make_eval_step(model, loss_fn, cfg,
             extras = {}
             if report is not None:
                 idx = jnp.asarray(report["indices"])
-                stds = jnp.asarray(report["std"], jnp.float32)
                 lat_w = jnp.asarray(report["lat_weights"], jnp.float32)[None, :, None]
-                diff = (out[..., idx] - target_t[..., idx]).astype(jnp.float32)
-                mse = jnp.mean(
-                    (diff * stds) ** 2 * lat_w[..., None], axis=(0, 1, 2)
-                )
+                pred_r = _denorm_report(out[..., idx].astype(jnp.float32), report)
+                true_r = _denorm_report(target_t[..., idx].astype(jnp.float32), report)
+                diff = pred_r - true_r
+                mse = jnp.mean(diff * diff * lat_w[..., None], axis=(0, 1, 2))
                 extras["report_mse"] = mse
             nxt = autoregress_next_input(dyn, out, num_common_features, n_time)
             return nxt, (loss_t, extras)
