@@ -19,7 +19,6 @@ compute dtype (the JAX analogue of the reference's bf16-mixed AMP).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
 from typing import Any, Callable
 
 import jax

@@ -14,9 +14,6 @@ Usage:
 
 from __future__ import annotations
 
-import re
-from typing import Any
-
 import numpy as np
 
 

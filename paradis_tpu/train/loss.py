@@ -12,7 +12,7 @@ reference ``utils/loss.py:233-255``.  All loss math runs in float32.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax.numpy as jnp

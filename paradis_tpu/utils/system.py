@@ -8,7 +8,6 @@ experiment directory.
 from __future__ import annotations
 
 import logging
-import os
 import random
 from pathlib import Path
 
