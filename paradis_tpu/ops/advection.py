@@ -67,14 +67,23 @@ def departure_pixel_coords(u, v, dt, lat_grid, lon_grid):
 def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto"):
     """Backend dispatch for the gather-interpolation.
 
-    ``auto`` resolves to the XLA dense contraction: measured on v5e at the
-    baseline workload it beats both the tap-gather formulation (~60x) and the
-    fused Pallas kernel (~2.6x — XLA's batched-GEMM path outperforms
-    per-channel-group kernel grid steps for these small matmuls).  ``pallas``
-    / ``xla`` / ``gather`` force a backend.
+    ``auto`` picks by problem size and backend:
+      * the XLA dense contraction materializes O(P·V·(R+C)) kernel weights in
+        HBM — fastest at 5.625° (beats the tap-gather ~60x and the fused
+        Pallas kernel ~2.6x on v5e), but its weight footprint grows
+        quadratically with resolution (≈6.6 GB/layer at 1.40625°);
+      * the Pallas kernel generates weights in VMEM with O(1) extra HBM, so
+        high-resolution grids dispatch to it on TPU.
+    ``pallas`` / ``xla`` / ``gather`` force a backend.
     """
+    import jax
+
     if impl == "auto":
-        impl = "xla"
+        B, R, C, V = field.shape
+        P = pix_y.shape[1] * pix_y.shape[2]
+        weight_elems = B * P * V * (R + C)
+        big = weight_elems > 2**28  # ≈0.5 GB bf16 per layer
+        impl = "pallas" if (big and jax.default_backend() == "tpu") else "xla"
     if impl == "pallas":
         from paradis_tpu.ops.interp_pallas import grid_sample_interp_pallas
 
