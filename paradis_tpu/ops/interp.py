@@ -79,18 +79,83 @@ def _kernel_dense(dist: jnp.ndarray, mode: str) -> jnp.ndarray:
     return jnp.where(d <= 1.0, near, jnp.where(d < 2.0, far, 0.0))
 
 
+def _dense_kernel_derivative(dist: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """∂K(d)/∂d at signed pixel distances (piecewise, zero outside support)."""
+    d = jnp.abs(dist)
+    s = jnp.sign(dist)
+    if mode == "bilinear":
+        return jnp.where(d < 1.0, -s, 0.0)
+    a = CUBIC_A
+    near = (3.0 * (a + 2.0) * d - 2.0 * (a + 3.0)) * d
+    far = (3.0 * a * d - 10.0 * a) * d + 8.0 * a
+    return s * jnp.where(d <= 1.0, near, jnp.where(d < 2.0, far, 0.0))
+
+
 def grid_sample_interp_dense(field: jnp.ndarray, pix_y: jnp.ndarray,
                              pix_x: jnp.ndarray, mode: str = "bicubic") -> jnp.ndarray:
     """Gather-free interpolation via dense separable kernel contraction.
 
-    Rematerialized under autodiff: the dense kernel matrices are large
-    (O(P·V·(R+C)) per layer) but trivially recomputable from the positions,
-    so storing them as residuals across all layers would blow HBM.
+    Custom VJP: the dense kernel matrices are large (O(P·V·(R+C)) per layer)
+    but trivially recomputable from the positions, so the backward pass
+    regenerates them once and shares them across the three cotangent
+    contractions — cheaper than both storing them as residuals (HBM blow-up)
+    and remat + autodiff (which regenerates per transposed einsum).
     """
-    import jax
+    return _dense_vjp(field, pix_y, pix_x, mode)
 
-    f = jax.checkpoint(lambda a, b, c: _dense_impl(a, b, c, mode))
-    return f(field, pix_y, pix_x)
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.custom_vjp, nondiff_argnums=(3,))
+def _dense_vjp(field, pix_y, pix_x, mode):
+    return _dense_impl(field, pix_y, pix_x, mode)
+
+
+def _dense_vjp_fwd(field, pix_y, pix_x, mode):
+    return _dense_impl(field, pix_y, pix_x, mode), (field, pix_y, pix_x)
+
+
+def _dense_vjp_bwd(mode, res, g):
+    field, pix_y, pix_x = res
+    B, R, C, V = field.shape
+    _, H, W, _ = pix_y.shape
+    cdt = jnp.float32 if field.dtype == jnp.float32 else (
+        jnp.bfloat16 if _jax.default_backend() == "tpu" else jnp.float32)
+
+    py = pix_y.astype(jnp.float32).reshape(B, H * W, V)
+    px = pix_x.astype(jnp.float32).reshape(B, H * W, V)
+    gf = g.astype(jnp.float32).reshape(B, H * W, V)
+
+    rows = jnp.arange(R, dtype=jnp.float32)
+    cols = jnp.arange(C, dtype=jnp.float32)
+    wy = _kernel_dense(py[..., None] - rows, mode)                  # [B,P,V,R]
+    wx = _kernel_dense(px[..., None] - cols, mode)                  # [B,P,V,C]
+    fieldT = jnp.moveaxis(field, -1, 1).astype(cdt)                 # [B,V,R,C]
+
+    # d_field[b,v,r,c] = Σ_p wy g wx
+    wyg = (wy * gf[..., None]).astype(cdt)
+    d_fieldT = jnp.einsum("bpvr,bpvc->bvrc", wyg, wx.astype(cdt),
+                          preferred_element_type=jnp.float32)
+    d_field = jnp.moveaxis(d_fieldT, 1, -1).astype(field.dtype)
+
+    # d_py = g Σ_r K'y (Σ_c wx f);   d_px = g Σ_c K'x (Σ_r wy f)
+    t = jnp.einsum("bpvc,bvrc->bpvr", wx.astype(cdt), fieldT,
+                   preferred_element_type=jnp.float32)
+    dky = _dense_kernel_derivative(py[..., None] - rows, mode)
+    d_py = (gf * jnp.sum(dky * t, axis=-1)).reshape(B, H, W, V).astype(pix_y.dtype)
+
+    u = jnp.einsum("bpvr,bvrc->bpvc", wy.astype(cdt), fieldT,
+                   preferred_element_type=jnp.float32)
+    dkx = _dense_kernel_derivative(px[..., None] - cols, mode)
+    d_px = (gf * jnp.sum(dkx * u, axis=-1)).reshape(B, H, W, V).astype(pix_x.dtype)
+
+    return d_field, d_py, d_px
+
+
+_dense_vjp.defvjp(_dense_vjp_fwd, _dense_vjp_bwd)
 
 
 def _dense_impl(field: jnp.ndarray, pix_y: jnp.ndarray, pix_x: jnp.ndarray,
