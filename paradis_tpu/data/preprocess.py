@@ -100,9 +100,12 @@ def cartesian_wind_10m(u10, v10, lat_rad, lon_rad):
 
 
 class _RawReader:
-    """Raw WB2-shaped store accessor with ascending-coordinate reordering."""
+    """Raw WB2-shaped store accessor with ascending-coordinate reordering,
+    optional pole removal, and optional regridding (reference
+    preprocess_dataset.py:218-230)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, remove_poles: bool = False,
+                 interp_deg: float = 0.0):
         self.group = zarrlite.open_store(path)
         self.times = np.asarray(self.group["time"][...]).astype("datetime64[s]")
         lat = np.asarray(self.group["latitude"][...], np.float64)
@@ -113,6 +116,33 @@ class _RawReader:
         self.lon = lon[self.lon_order]
         self.levels = np.asarray(self.group["level"][...], np.int64)
 
+        self._lat_keep = slice(None)
+        if remove_poles and interp_deg == 0:
+            keep = ~np.isin(self.lat, (-90.0, 90.0))
+            self._lat_keep = np.nonzero(keep)[0]
+            self.lat = self.lat[self._lat_keep]
+
+        self._regrid = None
+        if interp_deg and interp_deg > 0:
+            from paradis_tpu.ops.resize import linear_interp_matrix
+
+            new_lat = np.arange(-90.0, 90.0 + interp_deg / 2, interp_deg)
+            new_lon = np.arange(0.0, 360.0, interp_deg)
+            # align-corners matrices over the source grids; longitude uses a
+            # periodic extension so the 0/360 wrap interpolates correctly
+            wy = _regrid_matrix(self.lat, new_lat)
+            wx = _regrid_matrix_periodic(self.lon, new_lon)
+            self._regrid = (wy.astype(np.float32), wx.astype(np.float32))
+            self.lat, self.lon = new_lat, new_lon
+
+    def _apply_grid(self, arr: np.ndarray) -> np.ndarray:
+        """arr [H, W] or [H, W, L] on the source grid → output grid."""
+        if self._regrid is None:
+            return arr[self._lat_keep]
+        wy, wx = self._regrid
+        out = np.einsum("oh,hw...->ow...", wy, arr)   # latitude
+        return np.einsum("pw,ow...->op...", wx, out)  # longitude (periodic)
+
     def dims(self, name: str) -> tuple:
         return tuple(self.group[name].attrs.get("_ARRAY_DIMENSIONS", ()))
 
@@ -121,12 +151,38 @@ class _RawReader:
 
     def read_time(self, name: str, t: int) -> np.ndarray:
         """One timestep of a time-varying var → [H, W] or [H, W, L]."""
-        arr = self.group[name][t]
-        return np.asarray(arr)[self.lat_order][:, self.lon_order]
+        arr = np.asarray(self.group[name][t])[self.lat_order][:, self.lon_order]
+        return self._apply_grid(arr)
 
     def read_static(self, name: str) -> np.ndarray:
-        arr = np.asarray(self.group[name][...])
-        return arr[self.lat_order][:, self.lon_order]
+        arr = np.asarray(self.group[name][...])[self.lat_order][:, self.lon_order]
+        return self._apply_grid(arr)
+
+
+def _regrid_matrix(src_deg: np.ndarray, dst_deg: np.ndarray) -> np.ndarray:
+    """[len(dst), len(src)] linear-interp matrix over arbitrary source points."""
+    src, dst = np.asarray(src_deg, np.float64), np.asarray(dst_deg, np.float64)
+    out = np.zeros((len(dst), len(src)))
+    for i, x in enumerate(dst):
+        j = np.clip(np.searchsorted(src, x) - 1, 0, len(src) - 2)
+        t = np.clip((x - src[j]) / (src[j + 1] - src[j]), 0.0, 1.0)
+        out[i, j], out[i, j + 1] = 1.0 - t, t
+    return out
+
+
+def _regrid_matrix_periodic(src_deg: np.ndarray, dst_deg: np.ndarray,
+                            period: float = 360.0) -> np.ndarray:
+    """Periodic (longitude) linear-interp matrix."""
+    src = np.asarray(src_deg, np.float64)
+    n = len(src)
+    ext = np.concatenate([src, [src[0] + period]])
+    out = np.zeros((len(dst_deg), n))
+    for i, x in enumerate(np.mod(dst_deg, period)):
+        j = np.clip(np.searchsorted(ext, x) - 1, 0, n - 1)
+        t = np.clip((x - ext[j]) / (ext[j + 1] - ext[j]), 0.0, 1.0)
+        out[i, j] += 1.0 - t
+        out[i, (j + 1) % n] += t
+    return out
 
 
 def _feature_list(reader: _RawReader, levels: list[int]) -> list[str]:
@@ -372,8 +428,10 @@ def compute_tendency_statistics(out_dir: Path, delta_hours: int = 6) -> None:
 def preprocess(input_dir: str, output_dir: str, levels=None,
                begin_year: int | None = None, end_year: int | None = None,
                skip_stats: bool = False, only_stats: bool = False,
-               toa_time_stride: int = 1) -> None:
-    reader = _RawReader(input_dir)
+               toa_time_stride: int = 1, remove_poles: bool = False,
+               interp_deg: float = 0.0) -> None:
+    reader = _RawReader(input_dir, remove_poles=remove_poles,
+                        interp_deg=interp_deg)
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     if levels is None:
@@ -401,11 +459,16 @@ def main():
     p.add_argument("--skip-stats", action="store_true")
     p.add_argument("--only-stats", action="store_true")
     p.add_argument("--toa-time-stride", type=int, default=1)
+    p.add_argument("--remove-poles", action="store_true",
+                   help="drop the ±90° latitude rows")
+    p.add_argument("--interp_deg", type=float, default=0.0,
+                   help="regrid to this resolution in degrees")
     args = p.parse_args()
     if args.skip_stats and args.only_stats:
         p.error("--skip-stats and --only-stats cannot both be used")
     preprocess(args.input_dir, args.output_dir, args.levels, args.begin_year,
-               args.end_year, args.skip_stats, args.only_stats, args.toa_time_stride)
+               args.end_year, args.skip_stats, args.only_stats,
+               args.toa_time_stride, args.remove_poles, args.interp_deg)
 
 
 if __name__ == "__main__":
