@@ -186,8 +186,7 @@ class ZarrForecastWriter:
             lo = td_lo - 1 if include_init else td_lo
 
             for in_name, out_name in atmo:
-                idx = feature_indices(in_name if in_name not in _RENAME_ATMO
-                                      else in_name, self.features)
+                idx = feature_indices(in_name, self.features)
                 data = block(idx, fc, init_state)
                 g[out_name][pos_lo:pos_hi, lo:td_hi] = data
             for in_name, out_name in surf:

@@ -27,6 +27,9 @@ loops there).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 CUBIC_A = -0.75  # ATen's cubic convolution constant
