@@ -200,18 +200,42 @@ class Trainer:
 
         while not stop:
             epoch_t0 = time.perf_counter()
+            # host↔device sync cadence: 1 = reference-faithful per-step loss
+            # checks; >1 lets dispatch pipeline (metrics and the step counter
+            # stay on device between sync points — big win over high-latency
+            # links, mild win everywhere).  The host mirrors the step counter
+            # so schedules/cadences never force a device fetch.
+            sync_every = max(1, int(cfg.training.get("sync_every_n_steps", 1) or 1))
+            grad_accum = max(1, int(cfg.training.get("accumulate_grad_batches", 1)))
+            micro_host = 0                      # microbatches this epoch
+            step0 = int(self.state.step)        # one device sync per epoch
+            window_t0 = time.perf_counter()
+            window_steps = 0
             for batch in self.train_loader:
-                opt_step = int(self.state.step)
+                opt_step = step0 + (micro_host // grad_accum)  # completed steps
                 lr = self.schedule(opt_step)
                 self.state = self.state.replace(
                     opt_state=set_learning_rate(self.state.opt_state, lr)
                 )
-                t0 = time.perf_counter()
                 self.state, m = self.train_step(self.state, batch, num_common)
-                loss = float(m["loss"])
-                dt = time.perf_counter() - t0
+                micro_host += 1
+                window_steps += 1
 
-                step = int(self.state.step)
+                step = step0 + (micro_host // grad_accum)
+                need_sync = (
+                    step % sync_every == 0
+                    or step % log_every == 0
+                    or step <= 1
+                    or step >= self.max_steps
+                )
+                if not need_sync:
+                    continue
+
+                loss = float(m["loss"])  # forces device completion
+                dt = (time.perf_counter() - window_t0) / max(1, window_steps)
+                window_t0 = time.perf_counter()
+                window_steps = 0
+
                 if loss > 10 or not np.isfinite(loss):
                     raise NaNLossError(
                         f"NaN/diverged training loss {loss} at step {step}"
