@@ -225,6 +225,8 @@ class Trainer:
                 need_sync = (
                     step % sync_every == 0
                     or step % log_every == 0
+                    or (self._checkpointing and step % self.ckpt.step_every == 0)
+                    or (val_every and step % int(val_every) == 0)
                     or step <= 1
                     or step >= self.max_steps
                 )
