@@ -30,8 +30,7 @@ from paradis_tpu.ops.interp import CUBIC_A
 # group stays 8 and long position axes are blocked instead (the backward
 # kernel holds ~2x the buffers of the forward one).
 _VB = 8
-_PB_FWD = 2048
-_PB_BWD = 1024
+_VMEM_BUDGET = 10 * 2**20  # working-set target per kernel instance (bytes)
 
 
 def _weights(pos, size, mode):
@@ -86,12 +85,21 @@ def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
     wx = _weights(px_ref[0], C, mode)                           # [vb, P, C]
     wy = _weights(py_ref[0], R, mode)                           # [vb, P, R]
 
-    # d_field[v,r,c] = Σ_p wy[v,p,r] g[v,p] wx[v,p,c]
+    # d_field[v,r,c] = Σ_p wy[v,p,r] g[v,p] wx[v,p,c], accumulated across
+    # position blocks (the grid revisits this output block with p innermost)
     wyg = wy * g[..., None]                                     # [vb, P, R]
-    dfield_ref[0, 0] = jax.lax.dot_general(
+    partial = jax.lax.dot_general(
         wyg, wx, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dfield_ref.dtype)                                  # [vb, R, C]
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dfield_ref[0] = partial
+
+    @pl.when(pl.program_id(2) != 0)
+    def _():
+        dfield_ref[0] = dfield_ref[0] + partial
 
     # d_py[v,p] = g Σ_r K'y (Σ_c wx f)
     t = jax.lax.dot_general(wx, f, (((2,), (2,)), ((0,), (0,))),
@@ -111,17 +119,24 @@ def _pick_vb(V: int) -> int:
     return 1
 
 
-def _pick_pb(P: int, target: int) -> int:
-    if P <= target or P % target != 0:
-        return P
-    return target
+def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool) -> int:
+    """Largest (8,128)-legal position block whose working set fits VMEM.
+
+    Forward holds wx[C] + wy[R] + t[R] per position; backward additionally
+    holds the derivative rows and u[C].
+    """
+    per_pos = vb * 4 * ((C + 2 * R) if not bwd else (3 * C + 3 * R))
+    pb = min(P, 2048)
+    while pb > 128 and (pb * per_pos > _VMEM_BUDGET or P % pb != 0):
+        pb //= 2
+    return pb if P % pb == 0 else P
 
 
 def _fwd_tv(field_t, py_t, px_t, mode, interpret):
     B, V, R, C = field_t.shape
     P = py_t.shape[-1]
     vb = _pick_vb(V)
-    pb = _pick_pb(P, _PB_FWD)
+    pb = _pick_pb(P, vb, R, C, bwd=False)
     grid = (B, V // vb, P // pb)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, mode=mode, vb=vb),
@@ -141,15 +156,14 @@ def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret):
     B, V, R, C = field_t.shape
     P = py_t.shape[-1]
     vb = _pick_vb(V)
-    pb = _pick_pb(P, _PB_BWD)
+    pb = _pick_pb(P, vb, R, C, bwd=True)
+    # p is the innermost grid dim: the d_field output block is revisited
+    # across p steps and accumulated in place
     grid = (B, V // vb, P // pb)
-    # d_field accumulates over position blocks: emit per-p-block partials and
-    # sum outside (P // pb is small, the extra HBM is negligible)
-    n_pb = P // pb
-    dfield_parts, dpy, dpx = pl.pallas_call(
+    dfield, dpy, dpx = pl.pallas_call(
         functools.partial(_bwd_kernel, mode=mode, vb=vb),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pb, B, V, R, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, V, R, C), jnp.float32),
             jax.ShapeDtypeStruct((B, V, P), jnp.float32),
             jax.ShapeDtypeStruct((B, V, P), jnp.float32),
         ),
@@ -161,13 +175,13 @@ def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret):
             pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, vb, R, C), lambda b, v, p: (p, b, v, 0, 0)),
+            pl.BlockSpec((1, vb, R, C), lambda b, v, p: (b, v, 0, 0)),
             pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
             pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
         ),
         interpret=interpret,
     )(field_t, py_t, px_t, g_t)
-    return jnp.sum(dfield_parts, axis=0), dpy, dpx
+    return dfield, dpy, dpx
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -63,3 +63,25 @@ def test_bad_mode():
     field, py, px = _setup()
     with pytest.raises(ValueError):
         grid_sample_interp_pallas(field, py, px, "nearest", interpret=True)
+
+
+def test_position_block_accumulation(monkeypatch):
+    """Force multiple position blocks: the backward d_field accumulation over
+    revisited output blocks must match the single-block result."""
+    import paradis_tpu.ops.interp_pallas as mod
+
+    field, py, px = _setup(V=2, H=8, W=32, seed=6)  # P = 256
+    py = jnp.floor(py) + 0.37
+    px = jnp.floor(px) + 0.61
+
+    def loss(f, y, x):
+        return jnp.sum(grid_sample_interp_pallas(f, y, x, "bicubic",
+                                                 interpret=True) ** 2)
+
+    g_full = jax.grad(loss, argnums=(0, 1, 2))(field, py, px)
+    # shrink the budget so pb=128 < P=256 → 2 position blocks
+    monkeypatch.setattr(mod, "_VMEM_BUDGET", 1)
+    assert mod._pick_pb(256, 2, 12, 20, bwd=True) == 128
+    g_blocked = jax.grad(loss, argnums=(0, 1, 2))(field, py, px)
+    for a, b in zip(g_full, g_blocked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
