@@ -83,18 +83,39 @@ class WeightedLoss:
                     kind: Optional[str] = None,
                     nlon: Optional[int] = None) -> "WeightedLoss":
         kind = kind or cfg.training.loss_function.type
-        levels = np.asarray(cfg.features.pressure_levels, np.float32)
-        n_levels = len(levels)
-        n_surface = len(cfg.features.output.surface)
-        n_out = len(output_name_order)
-        n_atmo = n_out - n_surface
+        levels = [float(l) for l in cfg.features.pressure_levels]
+
+        lcfg = cfg.training.loss_function
+        apply_pw = bool(lcfg.get("apply_pressure_weights", True))
+        flip_geo = bool(lcfg.get("flip_geopotential_weights", False))
 
         var_w = build_variable_weights(cfg, output_name_order)
         fw = var_w.copy()
-        pw = pressure_weights(levels)
-        # atmospheric channels come in [var × level] blocks of n_levels
-        for i in range(0, n_atmo, n_levels):
-            fw[i : i + n_levels] = var_w[i : i + n_levels] * pw
+        if apply_pw:
+            pw = pressure_weights(np.asarray(levels, np.float32))
+            pw_flipped = pw[::-1]
+            level_pos = {l: i for i, l in enumerate(levels)}
+            # Derive the level of each output channel from its ``_h{level}``
+            # name suffix — robust to any channel ordering (the reference
+            # assumes [var × level] blocks, utils/loss.py:207-229; here an
+            # output-only atmospheric variable would be reordered after the
+            # surface commons by dataset._build_features).
+            for i, feat in enumerate(output_name_order):
+                m = _LEVEL_RE.search(feat)
+                if m is None:
+                    continue  # surface variable: variable weight only
+                lev = float(m.group()[2:])
+                if lev not in level_pos:
+                    raise ValueError(
+                        f"output feature {feat!r} has level {lev} not in "
+                        f"configured pressure_levels {levels}"
+                    )
+                table = (
+                    pw_flipped
+                    if flip_geo and strip_level(feat) == "geopotential"
+                    else pw
+                )
+                fw[i] = var_w[i] * table[level_pos[lev]]
 
         lat_w = None
         if cfg.training.loss_function.lat_weights and kind != "amse":

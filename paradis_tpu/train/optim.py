@@ -219,29 +219,62 @@ def build_optimizer(cfg, params_example) -> optax.GradientTransformation:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Return opt_state with the injected learning-rate hyperparam replaced."""
+    """Return opt_state with the injected learning-rate hyperparam replaced.
+
+    Traverses plain tuples/lists/dicts AND NamedTuple fields recursively, so
+    the injected node is found at any nesting depth (e.g. when the chain is
+    wrapped in ``optax.MultiSteps`` or ``optax.multi_transform``).
+    """
+    count = 0
 
     def visit(node):
-        if isinstance(node, optax.InjectStatefulHyperparamsState) or (
-            hasattr(node, "hyperparams") and "learning_rate" in getattr(node, "hyperparams", {})
+        nonlocal count
+        if hasattr(node, "hyperparams") and "learning_rate" in getattr(
+            node, "hyperparams", {}
         ):
+            count += 1
             hp = dict(node.hyperparams)
             hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
             return node._replace(hyperparams=hp)
-        if isinstance(node, tuple) and not hasattr(node, "_fields"):
+        if hasattr(node, "_fields"):  # NamedTuple: rebuild from visited fields
+            return type(node)(*(visit(getattr(node, f)) for f in node._fields))
+        if isinstance(node, tuple):
             return tuple(visit(n) for n in node)
-        if hasattr(node, "_fields"):  # other NamedTuples: recurse into fields
-            return node
+        if isinstance(node, list):
+            return [visit(n) for n in node]
+        if isinstance(node, dict):
+            return {k: visit(v) for k, v in node.items()}
         return node
 
-    return visit(opt_state)
+    out = visit(opt_state)
+    if count == 0:
+        raise ValueError("no injected learning_rate found in optimizer state")
+    return out
 
 
 def get_learning_rate(opt_state) -> float:
-    for node in opt_state:
-        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
-            return float(node.hyperparams["learning_rate"])
-    raise ValueError("no injected learning_rate found in optimizer state")
+    found = []
+
+    def visit(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in getattr(
+            node, "hyperparams", {}
+        ):
+            found.append(float(node.hyperparams["learning_rate"]))
+            return
+        if hasattr(node, "_fields"):
+            for f in node._fields:
+                visit(getattr(node, f))
+        elif isinstance(node, (tuple, list)):
+            for n in node:
+                visit(n)
+        elif isinstance(node, dict):
+            for v in node.values():
+                visit(v)
+
+    visit(opt_state)
+    if not found:
+        raise ValueError("no injected learning_rate found in optimizer state")
+    return found[0]
 
 
 # -- LR schedules (host-side; reference trainer.py:381-456) --------------------

@@ -113,3 +113,48 @@ def test_unknown_kind_raises():
     names = _names(cfg)
     with pytest.raises(ValueError):
         WeightedLoss.from_config(cfg, np.linspace(-87, 87, 32), names, kind="l1")
+
+
+def test_pressure_weights_from_names_output_only_atmo():
+    """An output-only atmospheric variable reordered after the surface
+    commons still gets its pressure weight (VERDICT r1 weak #4)."""
+    cfg = _cfg()
+    names = _names(cfg)
+    # simulate dataset ordering: move one atmospheric block to the very end
+    levels = list(cfg.features.pressure_levels)
+    block = [f"vertical_velocity_h{l}" for l in levels]
+    reordered = [n for n in names if n not in block] + block
+    loss = WeightedLoss.from_config(cfg, np.linspace(-87.1875, 87.1875, 32),
+                                    reordered)
+    pw = pressure_weights(np.asarray(levels, np.float32))
+    for j, l in enumerate(levels):
+        i = reordered.index(f"vertical_velocity_h{l}")
+        assert loss.feature_weights[i] == pytest.approx(0.1 * pw[j])
+    # surface channels unaffected by pressure weighting
+    i2m = reordered.index("2m_temperature")
+    w = build_variable_weights(cfg, reordered)
+    assert loss.feature_weights[i2m] == pytest.approx(w[i2m])
+
+
+def test_apply_pressure_weights_toggle():
+    cfg = _cfg()
+    cfg.training.loss_function.apply_pressure_weights = False
+    names = _names(cfg)
+    loss = WeightedLoss.from_config(cfg, np.linspace(-87.1875, 87.1875, 32), names)
+    np.testing.assert_allclose(loss.feature_weights,
+                               build_variable_weights(cfg, names))
+
+
+def test_flip_geopotential_weights():
+    cfg = _cfg()
+    cfg.training.loss_function.flip_geopotential_weights = True
+    names = _names(cfg)
+    loss = WeightedLoss.from_config(cfg, np.linspace(-87.1875, 87.1875, 32), names)
+    levels = list(cfg.features.pressure_levels)
+    pw = pressure_weights(np.asarray(levels, np.float32))
+    vw = build_variable_weights(cfg, names)
+    for j, l in enumerate(levels):
+        ig = names.index(f"geopotential_h{l}")
+        assert loss.feature_weights[ig] == pytest.approx(vw[ig] * pw[::-1][j])
+        it = names.index(f"temperature_h{l}")
+        assert loss.feature_weights[it] == pytest.approx(vw[it] * pw[j])
