@@ -25,6 +25,8 @@ _LIB_PATH = _BUILD_DIR / "libparadis_host.so"
 _lib = None
 _tried = False
 
+U8P = ctypes.POINTER(ctypes.c_uint8)
+
 
 def build(force: bool = False) -> Path | None:
     """Compile the shared library; returns its path or None on failure."""
@@ -67,6 +69,20 @@ def get_lib():
     lib.bitround_inplace.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int,
     ]
+    lib.blosc_decode_frame.restype = ctypes.c_int
+    lib.blosc_decode_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, U8P, ctypes.c_int64,
+    ]
+    lib.blosc_encode_frame.restype = ctypes.c_int64
+    lib.blosc_encode_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64, U8P, ctypes.c_int64,
+    ]
+    lib.blosc_decode_many.restype = ctypes.c_int
+    lib.blosc_decode_many.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -102,6 +118,37 @@ def zlib_decode_many(blobs: list[bytes | None], chunk_bytes: int,
     )
     if rc != 0:
         raise ValueError(f"zlib decode failed for chunk {rc - 1}")
+    return out
+
+
+def blosc_decode_many(blobs: list[bytes | None], chunk_bytes: int,
+                      out: np.ndarray | None = None,
+                      n_threads: int | None = None) -> np.ndarray | None:
+    """Decode N Blosc-1 frames into a contiguous [N * chunk_bytes] buffer.
+
+    Same contract as ``zlib_decode_many``; returns None when the native lib
+    is unavailable (caller falls back to per-chunk python decode).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(blobs)
+    if out is None:
+        out = np.zeros(n * chunk_bytes, np.uint8)
+    keepalive = [b if b is not None else b"" for b in blobs]
+    srcs = (ctypes.c_char_p * n)(*[
+        ctypes.cast(ctypes.c_char_p(b), ctypes.c_char_p)
+        if blobs[i] is not None else None
+        for i, b in enumerate(keepalive)
+    ])
+    lens = (ctypes.c_int64 * n)(*[len(b) if b else 0 for b in keepalive])
+    rc = lib.blosc_decode_many(
+        srcs, lens, out.ctypes.data_as(ctypes.c_char_p),
+        ctypes.c_int64(chunk_bytes), ctypes.c_int(n),
+        ctypes.c_int(n_threads or default_threads()),
+    )
+    if rc != 0:
+        raise ValueError(f"blosc decode failed for chunk {rc - 1}")
     return out
 
 

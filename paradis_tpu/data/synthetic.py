@@ -57,8 +57,14 @@ def _smooth_field(rng, shape_hw, mean, scale, t_phase=0.0):
 
 def build_raw_store(out_dir: str, nlat: int = 8, nlon: int = 16, n_times: int = 24,
                     levels=(500, 850, 1000), start="2000-01-01T00:00:00",
-                    dt_hours: int = 6, seed: int = 0) -> None:
-    """Write a raw WB2-shaped store under ``out_dir``."""
+                    dt_hours: int = 6, seed: int = 0,
+                    compressor: dict | None = None) -> None:
+    """Write a raw WB2-shaped store under ``out_dir``.
+
+    ``compressor`` overrides the chunk codec; pass
+    ``{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}`` to mirror a
+    genuine WeatherBench-2 download byte-for-byte in layout and codec.
+    """
     rng = np.random.default_rng(seed)
     g = zarrlite.create_group(out_dir, overwrite=True)
 
@@ -76,7 +82,7 @@ def build_raw_store(out_dir: str, nlat: int = 8, nlon: int = 16, n_times: int = 
     g.create_array("level", shape=(len(levels),), dtype=np.int64, data=levels,
                    dims=("level",), overwrite=True)
 
-    comp = {"id": "zlib", "level": 1}
+    comp = compressor if compressor is not None else {"id": "zlib", "level": 1}
     for name, (mean, scale) in ATMO_VARS.items():
         data = np.empty((n_times, nlat, nlon, len(levels)), np.float32)
         for t in range(n_times):

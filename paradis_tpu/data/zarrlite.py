@@ -65,6 +65,17 @@ def _encode(chunk: np.ndarray, compressor: dict | None, filters: list | None) ->
         return raw
     if compressor["id"] == "zlib":
         return zlib.compress(raw, compressor.get("level", 1))
+    if compressor["id"] == "blosc":
+        from paradis_tpu.data import blosc
+
+        return blosc.encode(
+            raw,
+            typesize=data.dtype.itemsize,
+            cname=compressor.get("cname", "lz4"),
+            clevel=int(compressor.get("clevel", 5)),
+            shuffle=int(compressor.get("shuffle", blosc.SHUFFLE)),
+            blocksize=int(compressor.get("blocksize", 0)),
+        )
     raise ValueError(f"unsupported compressor {compressor['id']!r} (zarrlite)")
 
 
@@ -73,6 +84,11 @@ def _decode(blob: bytes, shape: tuple, dtype: np.dtype,
     if compressor is not None:
         if compressor["id"] == "zlib":
             blob = zlib.decompress(blob)
+        elif compressor["id"] == "blosc":
+            from paradis_tpu.data import blosc
+
+            nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+            blob = blosc.decode(blob, nbytes)
         else:
             raise ValueError(f"unsupported compressor {compressor['id']!r} (zarrlite)")
     # bitround is lossy-in-place; decode is identity
@@ -247,11 +263,12 @@ class Array:
         Uses the native multithreaded zlib decoder (csrc/host_ops.cpp) when
         available; falls back to per-row ``__getitem__``.
         """
+        comp_id = self.compressor.get("id") if self.compressor else None
         fastable = (
             self.chunks[0] == 1
             and self.chunks[1:] == self.shape[1:]
             and not self.filters
-            and (self.compressor is None or self.compressor.get("id") == "zlib")
+            and comp_id in (None, "zlib", "blosc")
         )
         if fastable:
             from paradis_tpu.data import native
@@ -277,7 +294,9 @@ class Array:
                 for i, b in enumerate(blobs):
                     if b is None:
                         view[i] = fill
-            decoded = native.zlib_decode_many(blobs, chunk_bytes, out=buf)
+            decode_many = (native.blosc_decode_many if comp_id == "blosc"
+                           else native.zlib_decode_many)
+            decoded = decode_many(blobs, chunk_bytes, out=buf)
             if decoded is not None:
                 return decoded.view(self.dtype).reshape((hi - lo,) + self.shape[1:])
         return np.stack([self[i] for i in range(lo, hi)])
