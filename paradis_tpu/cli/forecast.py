@@ -46,7 +46,8 @@ def main(argv=None):
     cfg.dataset.sampling_interval = args.sampling_interval
     if args.start_date:
         cfg.forecast.start_date = args.start_date
-    cfg.forecast.end_date = args.end_date
+    if args.end_date:
+        cfg.forecast.end_date = args.end_date
     cfg.forecast.write_every_n = args.write_every_n
     cfg.compute.batch_size = args.batch_size
     cfg.compute.use_amp = False  # forecast in fp32 (reference forecast.py:85)

@@ -23,6 +23,21 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config, overrides=args.overrides)
+
+    # multi-host bring-up before any jax use (reference multi-node DDP,
+    # train.py:44-49): config keys or the standard env variables
+    import os
+
+    coord = (cfg.compute.get("coordinator_address", None)
+             or os.environ.get("PARADIS_COORDINATOR"))
+    if coord:
+        from paradis_tpu.distributed import initialize_distributed
+
+        initialize_distributed(
+            coordinator=coord,
+            num_processes=int(cfg.compute.get("num_nodes", 1) or 1),
+            process_id=int(os.environ.get("PARADIS_PROCESS_ID", "0")),
+        )
     setup_system(cfg)
 
     from paradis_tpu.train.loop import Trainer  # after setup (platform/seeds)

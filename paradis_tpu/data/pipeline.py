@@ -47,9 +47,9 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
-                 sharding=None, device_put: bool = True):
+                 sharding=None, device_put: bool = True, mesh=None):
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = max(1, prefetch)
@@ -60,6 +60,15 @@ class BatchLoader:
         self._collate = (
             collate_prediction if getattr(dataset, "prediction_stage", False) else collate
         )
+        # multi-host DP: every process iterates the same seeded global order
+        # but loads only its slice of each batch; global arrays are assembled
+        # from the process-local shards (reference multi-node DDP semantics)
+        self.mesh = mesh
+        self._local_slice = None
+        if mesh is not None and jax is not None and jax.process_count() > 1:
+            from paradis_tpu import distributed
+
+            self._local_slice = distributed.local_batch_slice(mesh, batch_size)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -86,8 +95,15 @@ class BatchLoader:
                     if stop.is_set():
                         return
                     idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    if self._local_slice is not None:
+                        idxs = idxs[self._local_slice]
                     batch = self._collate([self.dataset[int(i)] for i in idxs])
-                    if self.device_put:
+                    if self._local_slice is not None:
+                        from paradis_tpu import distributed
+
+                        batch = distributed.make_global_batch(
+                            batch, self.mesh, self.batch_size)
+                    elif self.device_put:
                         put = {}
                         for k, v in batch.items():
                             if k == "index":

@@ -57,6 +57,79 @@ def mesh_from_config(cfg) -> Mesh:
     return create_mesh(data=data, space=space)
 
 
+def _rows_for_process(row_process: list[set], me: int) -> tuple[int, int]:
+    """(first_row, n_rows) of the data-axis rows fully owned by process ``me``.
+
+    ``row_process`` holds, per data row, the set of process indices of that
+    row's devices.  Rows must be process-pure (a row split across processes
+    cannot be fed from one host's local data) and this process's rows must be
+    contiguous (so the local batch is one slice of the global batch).
+    """
+    rows = []
+    for i, procs in enumerate(row_process):
+        if procs == {me}:
+            rows.append(i)
+        elif me in procs:
+            raise ValueError(
+                f"mesh data row {i} is split across processes {sorted(procs)}; "
+                "local device count must be a multiple of spatial_devices"
+            )
+    if not rows:
+        raise ValueError(f"process {me} owns no data rows of the mesh")
+    if rows != list(range(rows[0], rows[0] + len(rows))):
+        raise ValueError(f"process {me} owns non-contiguous data rows {rows}")
+    return rows[0], len(rows)
+
+
+def process_data_rows(mesh: Mesh) -> tuple[int, int]:
+    """Which contiguous data-axis rows this process's devices own."""
+    row_process = [
+        {d.process_index for d in np.asarray(mesh.devices[i]).flat}
+        for i in range(mesh.shape[DATA_AXIS])
+    ]
+    return _rows_for_process(row_process, jax.process_index())
+
+
+def local_batch_slice(mesh: Mesh, global_batch: int) -> slice:
+    """The slice of the global batch this process must load from its dataset.
+
+    Every process iterates the same (seeded) global index order and loads only
+    its slice; the global device array is then assembled with
+    :func:`make_global_batch` (reference multi-node DDP sampler semantics,
+    ``train.py:44-49``).
+    """
+    data = mesh.shape[DATA_AXIS]
+    if global_batch % data:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"data-axis size {data}")
+    per_row = global_batch // data
+    r0, nr = process_data_rows(mesh)
+    return slice(r0 * per_row, (r0 + nr) * per_row)
+
+
+def make_global_batch(local_batch: dict, mesh: Mesh, global_batch: int) -> dict:
+    """Assemble global sharded arrays from this process's local batch slice.
+
+    Uses ``jax.make_array_from_process_local_data`` so each host contributes
+    only the shards its devices own — the multi-host replacement for the
+    single-host ``device_put`` path in :func:`shard_batch`.
+    """
+    sh = batch_shardings(mesh)
+    out = {}
+    for k, v in local_batch.items():
+        if k not in sh:
+            out[k] = v
+            continue
+        gshape = (global_batch,) + tuple(v.shape[1:])
+        out[k] = jax.make_array_from_process_local_data(sh[k], np.asarray(v), gshape)
+    return out
+
+
+def is_main_process() -> bool:
+    """True on the process that owns store/checkpoint/log writes."""
+    return jax.process_index() == 0
+
+
 def batch_shardings(mesh: Mesh) -> dict:
     """NamedShardings for the training-batch dict.
 

@@ -69,11 +69,18 @@ class ZarrForecastWriter:
     def init_store(self, dataset) -> None:
         if self.store_initialized:
             return
-        g = zarrlite.create_group(self.path, overwrite=True)
         H, W = dataset.lat_size, dataset.lon_size
         L = len(self.levels)
         T = len(self.init_times)
         P = self.total_pred
+        if T == 0:
+            raise ValueError(
+                "no forecast init times: the prediction window "
+                "(forecast.start_date..end_date) yields zero dataset samples — "
+                "check that the store covers the window plus "
+                "n_time_inputs of history"
+            )
+        g = zarrlite.create_group(self.path, overwrite=True)
 
         g.create_array("time", shape=(T,), dtype=self.init_times.dtype,
                        data=self.init_times, dims=("time",), overwrite=True)

@@ -40,6 +40,11 @@ class CheckpointManager:
     def _save(self, path: Path, state) -> None:
         """Each checkpoint dir holds two trees: the full train state (for
         resume) and the bare params (for weights-only / transfer loads)."""
+        if jax.process_count() > 1:
+            # multi-host: process 0 saves alone (Trainer gates the call), so
+            # materialize the replicated state to host numpy first — orbax
+            # would otherwise try to coordinate the save across processes
+            state = jax.tree.map(lambda x: np.asarray(x), state)
         if path.exists():
             shutil.rmtree(path)
         self._ckptr.save((path / "state").resolve(), state)
@@ -112,8 +117,11 @@ def load_params(path: str, target_params):
     reference ``trainer.py:233-257``.
     """
     ckptr = ocp.StandardCheckpointer()
+    path = Path(path)
+    if (path / "params").exists():  # accept a checkpoint dir or its params tree
+        path = path / "params"
     # restore with relaxed structure: same tree, possibly different leaf shapes
-    loaded = ckptr.restore(Path(path).resolve())
+    loaded = ckptr.restore(path.resolve())
 
     t_leaves = jax.tree_util.tree_flatten_with_path(target_params)[0]
     t_map = {jax.tree_util.keystr(k): v for k, v in t_leaves}

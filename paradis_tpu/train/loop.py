@@ -72,11 +72,15 @@ class Trainer:
         self.mesh = None
         n_devices = int(cfg.compute.get("num_devices", 1))
         n_space = int(cfg.compute.get("spatial_devices", 1))
-        if n_devices * n_space > 1:
+        n_nodes = int(cfg.compute.get("num_nodes", 1))
+        if n_devices * n_space * n_nodes > 1:
             from paradis_tpu.distributed import batch_shardings, mesh_from_config
 
             self.mesh = mesh_from_config(cfg)
             log.info("device mesh: %s", dict(self.mesh.shape))
+        # store/checkpoint/metrics writes happen on process 0 only (the
+        # reference's rank-0 gating under DDP, trainer.py:478-485)
+        self.is_main = jax.process_index() == 0
 
         bs = int(cfg.compute.batch_size)  # per data-shard, like the reference
         if self.mesh is not None:
@@ -84,10 +88,10 @@ class Trainer:
         shardings = batch_shardings(self.mesh) if self.mesh is not None else None
         self.train_loader = BatchLoader(
             self.train_ds, bs, shuffle=True, seed=int(cfg.init.get("seed") or 0),
-            drop_last=True, sharding=shardings,
+            drop_last=True, sharding=shardings, mesh=self.mesh,
         )
         self.val_loader = BatchLoader(self.val_ds, bs, shuffle=False, drop_last=True,
-                                      sharding=shardings)
+                                      sharding=shardings, mesh=self.mesh)
 
         # -- model/loss/optimizer ---------------------------------------------
         ds = self.train_ds
@@ -165,8 +169,15 @@ class Trainer:
             log.info("resuming full state from %s", cfg.init.checkpoint_path)
             self.state = self.ckpt.restore(self.state, cfg.init.checkpoint_path)
 
-        self.metrics = MetricsLogger(self.log_dir)
-        save_run_snapshot(self.log_dir, cfg)
+        if self.is_main:
+            self.metrics = MetricsLogger(self.log_dir)
+            save_run_snapshot(self.log_dir, cfg)
+        else:  # non-main processes keep the interface but write nothing
+            class _NullMetrics:
+                def log(self, *a, **k):
+                    pass
+
+            self.metrics = _NullMetrics()
         self.metrics.log(0, {"model/num_parameters": n_params})
 
         self.print_losses = bool(cfg.training.get("print_losses", False))
@@ -260,7 +271,7 @@ class Trainer:
                     })
                     if "grads" in m:
                         self._log_deep_stats(step, m)
-                if self._checkpointing:
+                if self._checkpointing and self.is_main:
                     self.ckpt.maybe_save_step(step, self._state_dict())
                 if val_every and step and step % int(val_every) == 0:
                     last_val = self._validate(step)
@@ -276,7 +287,7 @@ class Trainer:
                 stop = stop or self._early_stop_check(last_val)
             if self.plateau is not None:
                 self.plateau.update(last_val)
-            if self._checkpointing:
+            if self._checkpointing and self.is_main:
                 self.ckpt.save_epoch(epoch, self._state_dict())
                 self.ckpt.maybe_save_best(last_val, self._state_dict())
             max_epochs = int(self.cfg.training.max_epochs)

@@ -21,6 +21,10 @@ import jax
 import numpy as np
 import pytest
 
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running (multi-process) test")
+
 if not os.environ.get("PARADIS_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
