@@ -10,6 +10,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC host_ops.cpp -o libparadis_host.so -lz
 
 #include <zlib.h>
+#include <zstd.h>
 
 #include <algorithm>
 #include <atomic>
@@ -104,8 +105,8 @@ void bitround_inplace(uint32_t* bits, int64_t n, int keepbits) {
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// Blosc-1 container (c-blosc 1.x / numcodecs byte format) with LZ4 and zlib
-// block codecs.  Needed to ingest genuine WeatherBench-2 zarr stores, which
+// Blosc-1 container (c-blosc 1.x / numcodecs byte format) with LZ4, zlib
+// and zstd block codecs (zstd via the system libzstd).  Needed to ingest genuine WeatherBench-2 zarr stores, which
 // are Blosc(lz4, shuffle)-compressed (reference scripts/preprocess_dataset.py
 // reads them via zarr-python/numcodecs).  Format facts (c-blosc blosc.c):
 //   16-byte header: version, versionlz, flags, typesize, nbytes int32,
@@ -278,7 +279,7 @@ extern "C" {
 // Decode one Blosc-1 frame into dst (dst_len must equal the frame's nbytes).
 // Returns 0 on success; negative error codes:
 //  -1 truncated/corrupt, -2 size mismatch, -5 codec stream error,
-//  -10 bit-shuffle unsupported, -11 codec unsupported (snappy/zstd),
+//  -10 bit-shuffle unsupported, -11 codec unsupported (snappy),
 //  -12 blosclz unsupported.
 int blosc_decode_frame(const uint8_t* src, int64_t slen, uint8_t* dst,
                        int64_t dlen) {
@@ -300,7 +301,7 @@ int blosc_decode_frame(const uint8_t* src, int64_t slen, uint8_t* dst,
   const bool shuffle = flags & 0x1;
   if (flags & 0x4) return -10;
   if (codec == 0) return -12;
-  if (codec != 1 && codec != 3) return -11;
+  if (codec != 1 && codec != 3 && codec != 4) return -11;
   const bool dont_split = flags & 0x10;
 
   const int64_t nblocks = (nbytes + blocksize - 1) / blocksize;
@@ -332,6 +333,11 @@ int blosc_decode_frame(const uint8_t* src, int64_t slen, uint8_t* dst,
       } else if (codec == 1) {
         if (lz4_block_decode(ip, cb, bout + j * neblock, neblock) != neblock)
           return -5;
+      } else if (codec == 4) {
+        const size_t r = ZSTD_decompress(bout + j * neblock,
+                                         static_cast<size_t>(neblock), ip,
+                                         static_cast<size_t>(cb));
+        if (ZSTD_isError(r) || static_cast<int64_t>(r) != neblock) return -5;
       } else {
         uLongf outl = static_cast<uLongf>(neblock);
         if (uncompress(bout + j * neblock, &outl, ip,
@@ -349,7 +355,8 @@ int blosc_decode_frame(const uint8_t* src, int64_t slen, uint8_t* dst,
   return 0;
 }
 
-// Encode src into a Blosc-1 frame.  codec: 1 = lz4, 3 = zlib.  shuffle:
+// Encode src into a Blosc-1 frame.  codec: 1 = lz4, 3 = zlib, 4 = zstd.
+// shuffle:
 // 0 = none, 1 = byte shuffle.  blocksize 0 = auto.  Returns the frame size,
 // or a negative error (dst_cap should be >= nbytes + 16 + 4*nblocks + slack).
 int64_t blosc_encode_frame(const uint8_t* src, int64_t nbytes, int typesize,
@@ -357,7 +364,7 @@ int64_t blosc_encode_frame(const uint8_t* src, int64_t nbytes, int typesize,
                            int64_t blocksize, uint8_t* dst, int64_t dst_cap) {
   if (typesize < 1 || typesize > 255) typesize = 1;
   if (nbytes % typesize != 0) shuffle = 0;
-  if (codec != 1 && codec != 3) return -11;
+  if (codec != 1 && codec != 3 && codec != 4) return -11;
   if (blocksize <= 0) {
     blocksize = 256 * 1024;
     if (blocksize > nbytes) blocksize = nbytes;
@@ -403,6 +410,15 @@ int64_t blosc_encode_frame(const uint8_t* src, int64_t nbytes, int typesize,
       int64_t cb;
       if (codec == 1) {
         cb = lz4_block_encode(bin + j * neblock, neblock, op, neblock - 1);
+      } else if (codec == 4) {
+        ztmp.resize(ZSTD_compressBound(static_cast<size_t>(neblock)));
+        const int lvl = clevel < 1 ? 1 : (clevel > 9 ? 9 : clevel);
+        const size_t r = ZSTD_compress(ztmp.data(), ztmp.size(),
+                                       bin + j * neblock,
+                                       static_cast<size_t>(neblock), lvl);
+        cb = ZSTD_isError(r) ? -1 : static_cast<int64_t>(r);
+        if (cb >= neblock) cb = -1;
+        if (cb > 0) memcpy(op, ztmp.data(), static_cast<size_t>(cb));
       } else {
         ztmp.resize(compressBound(static_cast<uLong>(neblock)));
         uLongf zl = static_cast<uLongf>(ztmp.size());

@@ -5,8 +5,9 @@ Genuine WeatherBench-2 zarr stores are Blosc(lz4, byte-shuffle)-compressed
 ``scripts/preprocess_dataset.py:13-15``); the reference forecast writer also
 emits Blosc frames (``utils/file_output.py:14-28``).  This module makes such
 stores readable/writable without numcodecs: the native implementation lives
-in ``csrc/host_ops.cpp`` (LZ4 + zlib block codecs, byte shuffle, split
-streams), with a pure-Python mirror as fallback.
+in ``csrc/host_ops.cpp`` (LZ4 + zlib + zstd block codecs — zstd via the
+system libzstd — byte shuffle, split streams), with a pure-Python mirror as
+fallback (zstd through a direct ctypes binding).
 
 Container facts (c-blosc 1.x ``blosc.c``): 16-byte header ``version,
 versionlz, flags, typesize, nbytes:i32, blocksize:i32, cbytes:i32``; flags
@@ -17,15 +18,50 @@ offsets; per block ``nsplits`` sub-streams of ``int32 csize + payload``
 ``csize == substream_size``, zero-run when ``csize == 0``; byte-shuffle is
 per block, before splitting.
 
-Unsupported (clear errors): bit-shuffle, snappy, zstd, blosclz decode.
+Unsupported (clear errors): bit-shuffle, snappy, blosclz decode.
 """
 
 from __future__ import annotations
 
+import ctypes
+import ctypes.util
 import struct
 import zlib
 
 import numpy as np
+
+
+def _load_zstd():
+    """Direct ctypes binding to the system libzstd (python fallback path)."""
+    name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+    try:
+        lib = ctypes.CDLL(name)
+    except OSError:
+        return None
+    lib.ZSTD_decompress.restype = ctypes.c_size_t
+    lib.ZSTD_decompress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                    ctypes.c_char_p, ctypes.c_size_t]
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    lib.ZSTD_compress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                  ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    return lib
+
+
+_zstd = _load_zstd()
+
+
+def _zstd_decode_py(payload: bytes, dst_len: int) -> bytes:
+    if _zstd is None:
+        raise BloscError("zstd decode needs libzstd (not found)")
+    out = ctypes.create_string_buffer(dst_len)
+    r = _zstd.ZSTD_decompress(out, dst_len, payload, len(payload))
+    if _zstd.ZSTD_isError(r) or r != dst_len:
+        raise BloscError("corrupt zstd substream")
+    return out.raw
 
 _CODEC_IDS = {"blosclz": 0, "lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3, "zstd": 4}
 _CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
@@ -107,10 +143,10 @@ def _decode_frame_py(src: bytes, dst_len: int) -> bytes:
     codec = (flags >> 5) & 0x7
     if flags & 0x4:
         raise BloscError("blosc bit-shuffle is not supported")
-    if codec not in (1, 3):
+    if codec not in (1, 3, 4):
         raise BloscError(
             f"blosc codec {_CODEC_NAMES.get(codec, codec)!r} is not supported "
-            "(supported: lz4, zlib)"
+            "(supported: lz4, zlib, zstd)"
         )
     shuffle = bool(flags & 0x1)
     dont_split = bool(flags & 0x10)
@@ -138,6 +174,8 @@ def _decode_frame_py(src: bytes, dst_len: int) -> bytes:
                 block += payload
             elif codec == 1:
                 block += _lz4_decode_py(payload, neblock)
+            elif codec == 4:
+                block += _zstd_decode_py(payload, neblock)
             else:
                 raw = zlib.decompress(payload)
                 if len(raw) != neblock:
@@ -227,7 +265,7 @@ def encode(raw: bytes, typesize: int, cname: str = "lz4", clevel: int = 5,
     from paradis_tpu.data import native
 
     lib = native.get_lib()
-    if lib is not None and codec in (1, 3):
+    if lib is not None and codec in (1, 3, 4):
         cap = len(raw) + 16 + 4096 + len(raw) // 8
         out = np.empty(cap, np.uint8)
         n = lib.blosc_encode_frame(raw, len(raw), int(typesize), int(codec),

@@ -35,7 +35,7 @@ def build(force: bool = False) -> Path | None:
             return _LIB_PATH
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC),
-           "-o", str(_LIB_PATH), "-lz", "-pthread"]
+           "-o", str(_LIB_PATH), "-lz", "-lzstd", "-pthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _LIB_PATH

@@ -25,7 +25,7 @@ def _payloads():
     }
 
 
-@pytest.mark.parametrize("cname", ["lz4", "zlib"])
+@pytest.mark.parametrize("cname", ["lz4", "zlib", "zstd"])
 @pytest.mark.parametrize("shuffle", [blosc.NOSHUFFLE, blosc.SHUFFLE])
 def test_native_frame_roundtrip_both_decoders(cname, shuffle):
     if native.get_lib() is None:
@@ -89,9 +89,9 @@ def test_unsupported_codec_raises_clearly():
     import struct
 
     header = bytearray(16)
-    header[0], header[1], header[2], header[3] = 2, 1, (4 << 5), 4  # zstd
+    header[0], header[1], header[2], header[3] = 2, 1, (2 << 5), 4  # snappy
     struct.pack_into("<iii", header, 4, 16, 16, 36)
-    with pytest.raises(blosc.BloscError, match="zstd"):
+    with pytest.raises(blosc.BloscError, match="snappy"):
         blosc.decode(bytes(header) + b"\x00" * 20, 16)
 
 
