@@ -69,11 +69,15 @@ def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto"):
 
     ``auto`` picks by problem size and backend:
       * the XLA dense contraction materializes O(P·V·(R+C)) kernel weights in
-        HBM — fastest at 5.625° (beats the tap-gather ~60x and the fused
-        Pallas kernel ~2.6x on v5e), but its weight footprint grows
-        quadratically with resolution (≈6.6 GB/layer at 1.40625°);
+        HBM — at 5.625° it wins the full model fwd+bwd (35.8 vs 41.0 ms,
+        scripts/bench_model.py with the unrolled layer loop): standalone the
+        fused Pallas kernel is faster per op (1.40 vs 1.82 ms/layer fwd+bwd,
+        scripts/bench_interp.py), but embedded in the model graph the custom
+        call picks up ~0.6 ms/layer of scheduling/fusion-barrier overhead
+        that the pure-HLO path doesn't pay;
       * the Pallas kernel generates weights in VMEM with O(1) extra HBM, so
-        high-resolution grids dispatch to it on TPU.
+        high-resolution grids (where the XLA path would need ≈6.6 GB/layer
+        at 1.40625°) dispatch to it on TPU.
     ``pallas`` / ``xla`` / ``gather`` force a backend.
     """
     import jax

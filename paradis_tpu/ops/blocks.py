@@ -94,6 +94,41 @@ class CLinear(nn.Module):
         )(x)
 
 
+class _Depthwise(nn.Module):
+    """Depthwise k×k conv as an explicit shift-and-FMA stencil.
+
+    Mathematically identical to ``nn.Conv(feature_group_count=C)`` on the
+    pre-padded input (same ``kernel`` param name/shape, (k, k, 1, C)), but
+    its autodiff stays elementwise: the grouped-conv weight gradient lowers
+    to slow strided fusions on TPU (~0.25 ms per conv at 5.625°, measured),
+    while the stencil's weight grad is k² fused multiply-reduces.
+    """
+
+    kernel_size: int
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xpad: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, 1, self.features), jnp.float32)
+        kd = kernel.astype(self.dtype)
+        xpad = xpad.astype(self.dtype)
+        out_h = xpad.shape[-3] - (k - 1)
+        out_w = xpad.shape[-2] - (k - 1)
+        acc = None
+        for i in range(k):
+            for j in range(k):
+                # products in compute dtype, accumulation in fp32 (the conv
+                # accumulator semantics under AMP); all fused by XLA
+                term = (xpad[..., i : i + out_h, j : j + out_w, :]
+                        * kd[i, j, 0]).astype(jnp.float32)
+                acc = term if acc is None else acc + term
+        return acc.astype(self.dtype)
+
+
 class SepConv(nn.Module):
     """Separable conv: geocyclic pad → depthwise k×k → pointwise 1×1."""
 
@@ -116,15 +151,11 @@ class SepConv(nn.Module):
             dw_init = pw_init = torch_linear_default_init()
             pw_bias = _fanin_bias(None, cin)
         x = geocyclic_pad(x, pad)
-        x = nn.Conv(
+        x = _Depthwise(
+            kernel_size=self.kernel_size,
             features=cin,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            feature_group_count=cin,
-            use_bias=False,
-            padding="VALID",
             kernel_init=dw_init,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="depthwise",
         )(x)
         return nn.Dense(

@@ -94,6 +94,53 @@ def _dense_kernel_derivative(dist: jnp.ndarray, mode: str) -> jnp.ndarray:
     return s * jnp.where(d <= 1.0, near, jnp.where(d < 2.0, far, 0.0))
 
 
+def _tap_scalars(pos: jnp.ndarray, mode: str, derivative: bool):
+    """Per-position tap weights (and optionally their pos-derivatives).
+
+    Returns ``(i0, taps, ws[, dws])`` where the dense weight row is
+    ``W[..., r] = Σ_k ws_k · (r == i0 + taps_k)`` — identical values to
+    evaluating the piecewise kernel densely (the kernel is exactly zero
+    outside the taps), but built from 4 scalar evaluations plus integer
+    masks instead of a full polynomial per (position, offset) pair.  The
+    masks are shared between W and W' in the backward pass.
+    """
+    i0 = jnp.floor(pos)
+    t = pos - i0
+    if mode == "bilinear":
+        taps = (0, 1)
+        ws = (1.0 - t, t)
+        if not derivative:
+            return i0, taps, ws
+        dws = tuple(_dense_kernel_derivative(t - k, "bilinear") for k in taps)
+        return i0, taps, ws, dws
+    taps = (-1, 0, 1, 2)
+    ws = _cubic_weights(t)
+    if not derivative:
+        return i0, taps, ws
+    dws = tuple(_dense_kernel_derivative(t - k, "bicubic") for k in taps)
+    return i0, taps, ws, dws
+
+
+def _dense_weights_via_taps(pos: jnp.ndarray, size: int, mode: str,
+                            derivative: bool = False):
+    """Dense [., size] weight rows (and derivatives) from tap scalars."""
+    if derivative:
+        i0, taps, ws, dws = _tap_scalars(pos, mode, True)
+    else:
+        i0, taps, ws = _tap_scalars(pos, mode, False)
+    rel = jnp.arange(size, dtype=jnp.float32) - i0[..., None]
+    masks = [rel == k for k in taps]
+    w = masks[0] * ws[0][..., None]
+    for m, wk in zip(masks[1:], ws[1:]):
+        w = w + m * wk[..., None]
+    if not derivative:
+        return w
+    dw = masks[0] * dws[0][..., None]
+    for m, dk in zip(masks[1:], dws[1:]):
+        dw = dw + m * dk[..., None]
+    return w, dw
+
+
 def grid_sample_interp_dense(field: jnp.ndarray, pix_y: jnp.ndarray,
                              pix_x: jnp.ndarray, mode: str = "bicubic") -> jnp.ndarray:
     """Gather-free interpolation via dense separable kernel contraction.
@@ -132,10 +179,8 @@ def _dense_vjp_bwd(mode, res, g):
     px = pix_x.astype(jnp.float32).reshape(B, H * W, V)
     gf = g.astype(jnp.float32).reshape(B, H * W, V)
 
-    rows = jnp.arange(R, dtype=jnp.float32)
-    cols = jnp.arange(C, dtype=jnp.float32)
-    wy = _kernel_dense(py[..., None] - rows, mode)                  # [B,P,V,R]
-    wx = _kernel_dense(px[..., None] - cols, mode)                  # [B,P,V,C]
+    wy, dky = _dense_weights_via_taps(py, R, mode, derivative=True)  # [B,P,V,R]
+    wx, dkx = _dense_weights_via_taps(px, C, mode, derivative=True)  # [B,P,V,C]
     fieldT = jnp.moveaxis(field, -1, 1).astype(cdt)                 # [B,V,R,C]
 
     # d_field[b,v,r,c] = Σ_p wy g wx
@@ -147,12 +192,10 @@ def _dense_vjp_bwd(mode, res, g):
     # d_py = g Σ_r K'y (Σ_c wx f);   d_px = g Σ_c K'x (Σ_r wy f)
     t = jnp.einsum("bpvc,bvrc->bpvr", wx.astype(cdt), fieldT,
                    preferred_element_type=jnp.float32)
-    dky = _dense_kernel_derivative(py[..., None] - rows, mode)
     d_py = (gf * jnp.sum(dky * t, axis=-1)).reshape(B, H, W, V).astype(pix_y.dtype)
 
     u = jnp.einsum("bpvr,bvrc->bpvc", wy.astype(cdt), fieldT,
                    preferred_element_type=jnp.float32)
-    dkx = _dense_kernel_derivative(px[..., None] - cols, mode)
     d_px = (gf * jnp.sum(dkx * u, axis=-1)).reshape(B, H, W, V).astype(pix_x.dtype)
 
     return d_field, d_py, d_px
@@ -176,10 +219,8 @@ def _dense_impl(field: jnp.ndarray, pix_y: jnp.ndarray, pix_x: jnp.ndarray,
     py = pix_y.astype(jnp.float32).reshape(B, H * W, V)
     px = pix_x.astype(jnp.float32).reshape(B, H * W, V)
 
-    rows = jnp.arange(R, dtype=jnp.float32)
-    cols = jnp.arange(C, dtype=jnp.float32)
-    wy = _kernel_dense(py[..., None] - rows, mode).astype(cdt)      # [B,P,V,R]
-    wx = _kernel_dense(px[..., None] - cols, mode).astype(cdt)      # [B,P,V,C]
+    wy = _dense_weights_via_taps(py, R, mode).astype(cdt)           # [B,P,V,R]
+    wx = _dense_weights_via_taps(px, C, mode).astype(cdt)           # [B,P,V,C]
 
     fieldT = jnp.moveaxis(field, -1, 1).astype(cdt)                  # [B,V,R,C]
     # batched matmul over (B,V): [P,R] @ [R,C] -> [P,C].  MXU accumulates in

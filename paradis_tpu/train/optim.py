@@ -35,8 +35,13 @@ _NS_COEFFS = (3.4445, -4.7750, 2.0315)
 
 
 def newton_schulz_batched(x: jnp.ndarray, steps: int = 5,
-                          eps: float = 1e-7) -> jnp.ndarray:
-    """Quintic NS iteration over a stack of matrices ``[n, r, c]`` (r ≤ c).
+                          eps: float = 1e-7, side: str = "left") -> jnp.ndarray:
+    """Quintic NS iteration over a stack of matrices ``[n, r, c]``.
+
+    ``side="left"`` forms the gram on the row dimension (use when r ≤ c);
+    ``side="right"`` forms it on the column dimension (r > c) — exactly
+    ``NS(Xᵀ)ᵀ`` without materializing the transpose, so callers never pay a
+    physical relayout to normalize orientation.
 
     Runs in bfloat16 (MXU) with float32 per-matrix norms, like the canonical
     Muon.  Zero-padded rows/columns are invariant under the iteration (the
@@ -50,8 +55,12 @@ def newton_schulz_batched(x: jnp.ndarray, steps: int = 5,
     )
     y = y / (norm + eps).astype(jnp.bfloat16)[:, None, None]
     for _ in range(steps):
-        gram = y @ jnp.swapaxes(y, 1, 2)
-        y = a * y + (b * gram + c * (gram @ gram)) @ y
+        if side == "left":
+            gram = y @ jnp.swapaxes(y, 1, 2)
+            y = a * y + (b * gram + c * (gram @ gram)) @ y
+        else:
+            gram = jnp.swapaxes(y, 1, 2) @ y
+            y = a * y + y @ (b * gram + c * (gram @ gram))
     return y.astype(x.dtype)
 
 
@@ -107,7 +116,12 @@ def _orthogonalize_tree(eff, ns_steps: int):
     leaves, treedef = jax.tree_util.tree_flatten_with_path(eff)
     out_leaves: list = [None] * len(leaves)
 
-    items = []  # (leaf_idx, orig_shape, lead, transposed, rows2d, cols2d, mat)
+    # Every leaf is processed in its NATIVE [lead, fan_in, out] orientation
+    # (a free reshape) — NS on the transpose is NS(X)ᵀ, expressed via the
+    # gram side instead of a physical swapaxes, so no relayout copies are
+    # paid on the ~240 MB of gradients (measured ~3 ms/step of pure copies
+    # in the transpose-normalized form).
+    items = []  # (leaf_idx, orig_shape, lead, fan_in, out_dim, z)
     for i, (path, g) in enumerate(leaves):
         if g.ndim < 2:
             out_leaves[i] = g  # defensive: 1-D leaves shouldn't be labeled muon
@@ -117,49 +131,47 @@ def _orthogonalize_tree(eff, ns_steps: int):
         x = g if stacked else g[None]
         out_dim = x.shape[-1]
         fan_in = int(np.prod(x.shape[1:-1])) if x.ndim > 2 else 1
-        # dion flatten=True: [lead, *fan_in_dims, out] -> [lead, out, fan_in]
-        m = jnp.swapaxes(x.reshape(lead, fan_in, out_dim), 1, 2)
-        m = m.astype(jnp.float32)
-        rows, cols = out_dim, fan_in
-        transposed = rows > cols
-        if transposed:
-            m = jnp.swapaxes(m, 1, 2)
-        items.append([i, g.shape, lead, transposed, rows, cols, m])
+        z = x.reshape(lead, fan_in, out_dim)
+        items.append([i, g.shape, lead, fan_in, out_dim, z])
 
-    # bucket by normalized row count, then greedy-merge columns
-    by_rows: dict = {}
+    # bucket by (gram side, small dim); pad the large dim (exact for NS)
+    by_key: dict = {}
     for it in items:
-        r = it[6].shape[1]
-        by_rows.setdefault(r, []).append(it)
+        fan, out = it[3], it[4]
+        side = "left" if fan <= out else "right"
+        by_key.setdefault((side, min(fan, out)), []).append(it)
 
-    for r, group in by_rows.items():
-        group.sort(key=lambda it: it[6].shape[2])
+    for (side, _small), group in by_key.items():
+        big_axis = 2 if side == "left" else 1
+        group.sort(key=lambda it: it[5].shape[big_axis])
         start = 0
         while start < len(group):
-            c_min = group[start][6].shape[2]
+            b_min = group[start][5].shape[big_axis]
             end = start
             while (end + 1 < len(group)
-                   and group[end + 1][6].shape[2] <= c_min * _PAD_WASTE_LIMIT):
+                   and group[end + 1][5].shape[big_axis] <= b_min * _PAD_WASTE_LIMIT):
                 end += 1
             bucket = group[start : end + 1]
-            c_max = bucket[-1][6].shape[2]
-            mats = [
-                jnp.pad(it[6], ((0, 0), (0, 0), (0, c_max - it[6].shape[2])))
-                if it[6].shape[2] < c_max else it[6]
-                for it in bucket
-            ]
+            b_max = bucket[-1][5].shape[big_axis]
+            mats = []
+            for it in bucket:
+                z = it[5]
+                padw = b_max - z.shape[big_axis]
+                if padw:
+                    pads = [(0, 0)] * 3
+                    pads[big_axis] = (0, padw)
+                    z = jnp.pad(z, pads)
+                mats.append(z)
             big = mats[0] if len(mats) == 1 else jnp.concatenate(mats, axis=0)
-            orth = newton_schulz_batched(big, steps=ns_steps)
+            orth = newton_schulz_batched(big, steps=ns_steps, side=side)
             pos = 0
             for it in bucket:
-                i, shape, lead, transposed, rows, cols, m = it
-                o = orth[pos : pos + lead, :, : m.shape[2]]
+                i, shape, lead, fan, out, z = it
+                o = orth[pos : pos + lead, : fan, : out]
                 pos += lead
-                if transposed:
-                    o = jnp.swapaxes(o, 1, 2)
-                o = o * math.sqrt(max(1.0, rows / cols))
-                # invert the flatten: [lead, out, fan_in] -> orig shape
-                out_leaves[i] = jnp.swapaxes(o, 1, 2).reshape(shape)
+                # dion flatten rescale: rows = out, cols = fan_in
+                o = o * math.sqrt(max(1.0, out / fan))
+                out_leaves[i] = o.reshape(shape)
             start = end + 1
 
     return jax.tree_util.tree_unflatten(treedef, out_leaves)

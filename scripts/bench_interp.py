@@ -98,15 +98,16 @@ def make_variants():
     out["pallas_fwdbwd"] = wrap_fwdbwd(pal)
 
     # weight-generation-only pallas kernel: isolates the VPU cost
+    # (positions-last layout: [vb, support, P] — P in lanes)
     import functools
 
     from jax.experimental import pallas as pl
-    from paradis_tpu.ops.interp_pallas import _weights
+    from paradis_tpu.ops.interp_pallas import _weights_T
 
     def genonly_kernel(py_ref, px_ref, out_ref):
-        wx = _weights(px_ref[0], C, MODE)
-        wy = _weights(py_ref[0], R, MODE)
-        out_ref[0] = jnp.sum(wx, axis=2) + jnp.sum(wy, axis=2)
+        wx = _weights_T(px_ref[0], C, MODE)
+        wy = _weights_T(py_ref[0], R, MODE)
+        out_ref[0] = jnp.sum(wx, axis=1) + jnp.sum(wy, axis=1)
 
     def genonly(py_t, px_t):
         vb, pb = 8, 2048
@@ -131,6 +132,80 @@ def make_variants():
         return jnp.sum(o) * 1e-30
 
     out["pallas_genonly"] = (gen_step, (jnp.float32(0.0), py_t, px_t))
+
+    # matmul-only kernels: isolate the MXU cost of the channel-batched
+    # dot_general at different operand dtypes / channel batch sizes
+    def mm_kernel(wx_ref, f_ref, out_ref, *, cdt):
+        t = jax.lax.dot_general(
+            wx_ref[0].astype(cdt), f_ref[0].astype(cdt),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                     # [vb, P, R]
+        out_ref[0] = jnp.sum(t, axis=2)
+
+    def mm_only(cdt, vb, pb):
+        P = H * W
+        rng2 = np.random.default_rng(1)
+        wx_full = jnp.asarray(rng2.normal(size=(B, V, P, C)), jnp.float32)
+        f_full = jnp.asarray(rng2.normal(size=(B, V, R, C)), jnp.float32)
+        grid = (B, V // vb, P // pb)
+        call = pl.pallas_call(
+            functools.partial(mm_kernel, cdt=cdt),
+            out_shape=jax.ShapeDtypeStruct((B, V, P), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, vb, pb, C), lambda b, v, p: (b, v, p, 0)),
+                pl.BlockSpec((1, vb, R, C), lambda b, v, p: (b, v, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+        )
+
+        @jax.jit
+        def step(carry, wx, f):
+            o = call(wx + carry * 1e-30, f)
+            return jnp.sum(o) * 1e-30
+
+        return step, (jnp.float32(0.0), wx_full, f_full)
+
+    out["mm_f32_vb8"] = mm_only(jnp.float32, 8, 1024)
+    out["mm_bf16_vb8"] = mm_only(jnp.bfloat16, 8, 1024)
+    out["mm_bf16_vb32"] = mm_only(jnp.bfloat16, 32, 256)
+    out["mm_bf16_vb128"] = mm_only(jnp.bfloat16, 128, 128)
+
+    # transposed matmul-only: [vb,R,C] @ [vb,C,P] (small-M stream, N=P lanes)
+    def mmT_kernel(wxT_ref, f_ref, out_ref, *, cdt):
+        t = jax.lax.dot_general(
+            f_ref[0].astype(cdt), wxT_ref[0].astype(cdt),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                     # [vb, R, P]
+        out_ref[0] = jnp.sum(t, axis=1)
+
+    def mmT_only(cdt, vb, pb):
+        P = H * W
+        rng2 = np.random.default_rng(1)
+        wxT_full = jnp.asarray(rng2.normal(size=(B, V, C, P)), jnp.float32)
+        f_full = jnp.asarray(rng2.normal(size=(B, V, R, C)), jnp.float32)
+        grid = (B, V // vb, P // pb)
+        call = pl.pallas_call(
+            functools.partial(mmT_kernel, cdt=cdt),
+            out_shape=jax.ShapeDtypeStruct((B, V, P), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, vb, C, pb), lambda b, v, p: (b, v, 0, p)),
+                pl.BlockSpec((1, vb, R, C), lambda b, v, p: (b, v, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+        )
+
+        @jax.jit
+        def step(carry, wxT, f):
+            o = call(wxT + carry * 1e-30, f)
+            return jnp.sum(o) * 1e-30
+
+        return step, (jnp.float32(0.0), wxT_full, f_full)
+
+    out["mmT_bf16_vb8"] = mmT_only(jnp.bfloat16, 8, 1024)
 
     return out
 

@@ -1,0 +1,129 @@
+"""North-star full-dress rehearsal (VERDICT r1 missing #1 / next #3).
+
+Exercises the COMPLETE production loop at flagship size on the real chip:
+
+  1. synthesize a full-resolution WB2-shaped raw store (5.625°: 32x64, 13
+     levels, ~14 months of 6-hourly states — train year + held-out window),
+  2. preprocess it to the training layout (per-year stacked zarr + stats),
+  3. train the flagship config (latent 1024 x 8 layers x 768 vels, NorMuon,
+     WSD, bf16) for a few thousand real optimizer steps — in TWO segments
+     with a checkpoint stop/resume in between (restart path exercised),
+  4. run the reference forecast protocol (40 steps x 6 h, init every 36 h)
+     over the held-out window (reference scripts/run_forecast.sh:9-27),
+  5. score Z500/T850 lat-weighted RMSE at 24/72/120 h against held-out truth
+     (forecast/evaluate.py).
+
+Real-ERA5 numbers need the real WB2 archive (zero-egress environment); this
+rehearsal pins the protocol, the plumbing, and the wall-clock on identically
+shaped data.  Writes rehearsal_summary.json in --workdir.
+
+Usage: python scripts/rehearsal.py --workdir /tmp/rehearsal [--steps 3000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+LEVELS_13 = [50, 100, 150, 200, 250, 300, 400, 500, 600, 700, 850, 925, 1000]
+
+
+def sh(cmd: list[str], **kw) -> float:
+    print("+", " ".join(map(str, cmd)), flush=True)
+    t0 = time.perf_counter()
+    subprocess.run([str(c) for c in cmd], check=True, cwd=REPO, **kw)
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--times", type=int, default=1700,
+                    help="6-hourly states (~14 months)")
+    ap.add_argument("--skip-data", action="store_true")
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    summary: dict = {"steps": args.steps}
+    py = sys.executable
+
+    # -- 1+2: data ---------------------------------------------------------------
+    if not args.skip_data:
+        t = sh([py, "-m", "paradis_tpu.data.synthetic", "--out", wd / "raw",
+                "--nlat", 32, "--nlon", 64, "--times", args.times,
+                "--levels", *LEVELS_13, "--start", "2000-01-01T00:00:00"])
+        summary["synthesize_s"] = round(t, 1)
+        t = sh([py, "-m", "paradis_tpu.cli.preprocess",
+                "-i", wd / "raw", "-o", wd / "prep"])
+        summary["preprocess_s"] = round(t, 1)
+
+    common = [
+        f"dataset.root_dir={wd / 'prep'}",
+        "training.dataset.start_date=2000-01-01",
+        "training.dataset.end_date=2000-12-31",
+        "training.validation_dataset.start_date=2001-01-01",
+        "training.validation_dataset.end_date=2001-01-15",
+        "training.validation_dataset.validation_batches=8",
+        "training.scheduler.wsd.warmup=100",
+        "training.scheduler.wsd.decay=0.1",
+        "training.optimizer.name=normuon",
+        "training.sync_every_n_steps=40",
+        "training.log_every_n_steps=100",
+        "training.validation_dataset.validation_every_n_steps=500",
+        f"training.log_dir={wd / 'logs'}",
+        "training.progress_bar=false",
+        "training.max_epochs=1000",
+    ]
+
+    # -- 3: two-segment training with restart ------------------------------------
+    if not args.skip_train:
+        half = args.steps // 2
+        t = sh([py, "-m", "paradis_tpu.cli.train", *common,
+                f"training.max_steps={half}"])
+        summary["train_seg1_s"] = round(t, 1)
+        t = sh([py, "-m", "paradis_tpu.cli.train", *common,
+                f"training.max_steps={args.steps}",
+                "init.restart=true",
+                f"init.checkpoint_path={wd / 'logs' / 'checkpoints'}"])
+        summary["train_seg2_s"] = round(t, 1)
+        # throughput from the metrics CSV
+        import csv
+
+        with open(wd / "logs" / "metrics.csv") as f:
+            rows = [r for r in csv.DictReader(f) if r.get("samples_per_sec")]
+        if rows:
+            sps = [float(r["samples_per_sec"]) for r in rows[-10:]]
+            summary["train_samples_per_sec"] = round(sum(sps) / len(sps), 2)
+
+    # -- 4: forecast protocol ------------------------------------------------------
+    ckpt = wd / "logs" / "checkpoints" / "last.json"
+    ckpt_dir = json.loads(ckpt.read_text())["path"]
+    t = sh([py, "-m", "paradis_tpu.cli.forecast",
+            "--checkpoint-path", ckpt_dir,
+            "--output-file", wd / "forecast.zarr",
+            "--forecast-steps", 40, "--sampling-interval", "36h",
+            "--start-date", "2001-01-01", "--end-date", "2001-02-20",
+            f"dataset.root_dir={wd / 'prep'}"])
+    summary["forecast_s"] = round(t, 1)
+
+    # -- 5: score -------------------------------------------------------------------
+    from paradis_tpu.forecast.evaluate import evaluate_store
+
+    results = evaluate_store(str(wd / "forecast.zarr"), str(wd / "prep"),
+                             [("geopotential", 500), ("temperature", 850)],
+                             [24, 72, 120])
+    summary["rmse"] = results
+    (wd / "rehearsal_summary.json").write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()
