@@ -103,6 +103,12 @@ def main() -> None:
     if baseline_path.exists():
         meta = json.loads(baseline_path.read_text())
         baseline = meta.get("published", {}).get("train_samples_per_sec_per_chip")
+        if baseline is None:
+            # no published reference numbers exist; fall back to our own
+            # measured run of the reference torch model's training step on
+            # this host's CPU (scripts/bench_reference.py; BASELINE.md)
+            baseline = meta.get("measured", {}).get(
+                "reference_model_cpu_samples_per_sec")
 
     vs = samples_per_sec / baseline if baseline else 1.0
     print(json.dumps({
