@@ -37,25 +37,31 @@ class CheckpointManager:
 
     # -- save -------------------------------------------------------------------
 
-    def _save(self, path: Path, state) -> None:
-        """Each checkpoint dir holds two trees: the full train state (for
-        resume) and the bare params (for weights-only / transfer loads)."""
+    def _save(self, path: Path, state, with_params: bool = True) -> None:
+        """Each checkpoint dir holds the full train state (for resume) and —
+        for epoch/best checkpoints — a separate bare-params tree (weights-only
+        / transfer loads; ``load_params`` extracts params from state-only
+        checkpoints too).  Step checkpoints skip the duplicate params tree and
+        the final disk wait: the device→host transfer happens at save time,
+        disk IO overlaps with training and is fenced at the next save."""
         if jax.process_count() > 1:
             # multi-host: process 0 saves alone (Trainer gates the call), so
             # materialize the replicated state to host numpy first — orbax
             # would otherwise try to coordinate the save across processes
             state = jax.tree.map(lambda x: np.asarray(x), state)
+        self._ckptr.wait_until_finished()  # fence any in-flight async save
         if path.exists():
             shutil.rmtree(path)
         self._ckptr.save((path / "state").resolve(), state)
-        self._ckptr.wait_until_finished()
-        self._ckptr.save((path / "params").resolve(), state.params)
-        self._ckptr.wait_until_finished()
+        if with_params:
+            self._ckptr.wait_until_finished()
+            self._ckptr.save((path / "params").resolve(), state.params)
+            self._ckptr.wait_until_finished()
 
     def maybe_save_step(self, step: int, state) -> bool:
         if step % self.step_every != 0 or step == 0:
             return False
-        self._save(self.root / "steps" / f"{step:08d}", state)
+        self._save(self.root / "steps" / f"{step:08d}", state, with_params=False)
         self._write_pointer("last", self.root / "steps" / f"{step:08d}")
         kept = sorted((self.root / "steps").iterdir())
         for old in kept[: max(0, len(kept) - self.keep_steps)]:
@@ -91,10 +97,18 @@ class CheckpointManager:
         return path if path.exists() else None
 
     def restore(self, target_state, path: str | Path | None = None):
-        """Full restore into the structure of ``target_state``."""
+        """Full restore into the structure of ``target_state``.
+
+        Accepts a checkpoint directory, its ``state`` subtree, or a
+        checkpoints ROOT (resolved through its ``last.json`` pointer) — so
+        ``init.checkpoint_path=<log_dir>/checkpoints`` resumes from the
+        latest checkpoint like the reference's ``ckpt_path`` convention.
+        """
         path = Path(path) if path else self.latest_path()
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {self.root}")
+        if (path / "last.json").exists():
+            path = Path(json.loads((path / "last.json").read_text())["path"])
         if (path / "state").exists():
             path = path / "state"
         return self._ckptr.restore(path.resolve(), target=target_state)
@@ -118,10 +132,18 @@ def load_params(path: str, target_params):
     """
     ckptr = ocp.StandardCheckpointer()
     path = Path(path)
+    if (path / "last.json").exists():  # a checkpoints root → follow pointer
+        path = Path(json.loads((path / "last.json").read_text())["path"])
+    from_state = False
     if (path / "params").exists():  # accept a checkpoint dir or its params tree
         path = path / "params"
+    elif (path / "state").exists():  # state-only (step) checkpoints
+        path = path / "state"
+        from_state = True
     # restore with relaxed structure: same tree, possibly different leaf shapes
     loaded = ckptr.restore(path.resolve())
+    if from_state:
+        loaded = loaded["params"]
 
     t_leaves = jax.tree_util.tree_flatten_with_path(target_params)[0]
     t_map = {jax.tree_util.keystr(k): v for k, v in t_leaves}

@@ -137,8 +137,44 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
         losses_all = jnp.concatenate(step_losses)  # [S]
         train_loss = jnp.mean(losses_all)
 
-        accum = jax.tree.map(jnp.add, state.accum, grads)
         micro = state.micro_step + 1
+
+        def _add_channel_diagnostics(metrics, params):
+            # per-channel diagnostics from a step-0 forward (cheap, explicit)
+            model_in = jnp.concatenate(
+                [dyn_input, forcings[:, 0],
+                 jnp.broadcast_to(constants, forcings[:, 0].shape[:1] + constants.shape[1:])],
+                axis=-1,
+            )
+            out0 = model.apply(params, model_in)
+            metrics["channel_loss_weighted"] = loss_fn.per_channel(
+                out0, targets[:, 0], weighted=True)
+            metrics["channel_loss_unweighted"] = loss_fn.per_channel(
+                out0, targets[:, 0], weighted=False)
+
+        if grad_accum == 1:
+            # no accumulation: skip the 3 full-gradient-tree HBM passes of
+            # accumulate + zero + cond (~1.5 ms/step at flagship size); the
+            # untouched zero accumulator passes through (donated alias)
+            updates, new_opt = optimizer.update(grads, state.opt_state,
+                                                state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=new_params, opt_state=new_opt,
+                step=state.step + 1, micro_step=micro, accum=state.accum,
+            )
+            metrics = {
+                "loss": train_loss,
+                "loss_per_step": losses_all,
+                "grad_norm": optax.global_norm(grads),
+                "applied": jnp.ones((), jnp.bool_),
+            }
+            if deep_stats:
+                metrics["grads"] = grads
+                _add_channel_diagnostics(metrics, state.params)
+            return new_state, metrics
+
+        accum = jax.tree.map(jnp.add, state.accum, grads)
         should_apply = (micro % grad_accum) == 0
 
         def apply_fn(operand):
@@ -172,17 +208,7 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
         }
         if deep_stats:
             metrics["grads"] = grads
-            # per-channel diagnostics from a step-0 forward (cheap, explicit)
-            model_in = jnp.concatenate(
-                [dyn_input, forcings[:, 0],
-                 jnp.broadcast_to(constants, forcings[:, 0].shape[:1] + constants.shape[1:])],
-                axis=-1,
-            )
-            out0 = model.apply(state.params, model_in)
-            metrics["channel_loss_weighted"] = loss_fn.per_channel(
-                out0, targets[:, 0], weighted=True)
-            metrics["channel_loss_unweighted"] = loss_fn.per_channel(
-                out0, targets[:, 0], weighted=False)
+            _add_channel_diagnostics(metrics, state.params)
         return new_state, metrics
 
     jitted = jax.jit(

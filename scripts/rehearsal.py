@@ -94,14 +94,15 @@ def main():
                 "init.restart=true",
                 f"init.checkpoint_path={wd / 'logs' / 'checkpoints'}"])
         summary["train_seg2_s"] = round(t, 1)
-        # throughput from the metrics CSV
+        # throughput from the metrics CSV (long format: step,name,value)
         import csv
 
         with open(wd / "logs" / "metrics.csv") as f:
-            rows = [r for r in csv.DictReader(f) if r.get("samples_per_sec")]
-        if rows:
-            sps = [float(r["samples_per_sec"]) for r in rows[-10:]]
-            summary["train_samples_per_sec"] = round(sum(sps) / len(sps), 2)
+            sps = [float(r[2]) for r in csv.reader(f)
+                   if len(r) == 3 and r[1] == "samples_per_sec"]
+        if sps:
+            summary["train_samples_per_sec"] = round(
+                sum(sps[-10:]) / len(sps[-10:]), 2)
 
     # -- 4: forecast protocol ------------------------------------------------------
     ckpt = wd / "logs" / "checkpoints" / "last.json"
