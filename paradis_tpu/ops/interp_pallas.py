@@ -6,18 +6,20 @@ contraction — zero gathers; the TPU replacement for the reference's
 per (channel-group × position-block):
 
   * the dense kernel weights ``K(pos − i)`` are generated on the VPU and
-    consumed immediately by MXU matmuls — they never touch HBM (the XLA path
-    materializes O(P·V·R) weights per layer);
+    consumed immediately by MXU matmuls — they never touch HBM.  This is the
+    only viable backend at high resolution: at 1.40625° the XLA dense path
+    would materialize ≈6.6 GB of weights per layer, so the auto-dispatch
+    (ops/advection.py) selects this kernel there and the XLA path at 5.625°
+    (where it wins in-model, scripts/bench_model.py);
   * in-kernel everything is **positions-last** — weights are
     ``[vb, support, P]`` so the 128-lane axis is the 128-aligned position
     count, not the 36/68 support axis (full VPU lanes for weight generation,
-    full MXU N-tiles for the contractions);
-  * at the HBM boundary all operands keep the model's natural channels-last
-    layout (``[B, P, V]`` positions, ``[B, R, C, V]`` field) and the small
-    per-block transposes happen in VMEM: inside the model graph the producers
-    (convs, departure-point trig) pin channels-last layouts, and a kernel
-    demanding channel-major operands forces XLA to insert physical lane
-    relayouts worth ~2.5 ms/layer at 5.625° (measured, scripts/bench_model.py);
+    full MXU N-tiles for the contractions; the support-in-lanes layout
+    measured 3× slower on weight generation alone);
+  * operands are channel-major at the HBM boundary (``[B, V, P]`` positions,
+    ``[B, V, R, C]`` field) so the channel block ``vb`` stays small (8): a
+    channels-last boundary would put ``vb`` in the lane dimension, forcing
+    vb=128 and a VMEM working set that cannot fit high-resolution grids;
   * matmul operands are bfloat16 under AMP (the MXU's native input format;
     fp32 dots decompose into multiple passes), accumulation always fp32;
   * a custom VJP regenerates weights once in the backward kernel and emits
@@ -31,16 +33,13 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from paradis_tpu.ops.interp import CUBIC_A
 
-# channels per kernel instance: Mosaic requires lane-dim blocks to be
-# 128-divisible or the full axis, and the channel axis sits in lanes at the
-# HBM boundary (natural channels-last layout)
-_VB = 128
-_VMEM_BUDGET = 24 * 2**20  # working-set target per kernel instance (bytes)
-_VMEM_LIMIT = 48 * 2**20   # scoped VMEM ceiling handed to Mosaic
+# channels per kernel instance (batch dim of the in-kernel dot_generals;
+# second-to-last block dim of the [B, V, P] operands → multiple of 8)
+_VB = 8
+_VMEM_BUDGET = 10 * 2**20  # working-set target per kernel instance (bytes)
 
 
 def _weights_T(pos, size, mode):
@@ -81,10 +80,10 @@ def _compute_dtype(field_dtype):
 
 
 def _fwd_kernel(field_ref, py_ref, px_ref, out_ref, *, mode, cdt):
-    R, C = field_ref.shape[-3], field_ref.shape[-2]
-    py = py_ref[0].T                                             # [vb, P]
-    px = px_ref[0].T
-    f = jnp.transpose(field_ref[0], (2, 0, 1)).astype(cdt)       # [vb, R, C]
+    R, C = field_ref.shape[-2], field_ref.shape[-1]
+    py = py_ref[0]                                               # [vb, P]
+    px = px_ref[0]
+    f = field_ref[0].astype(cdt)                                 # [vb, R, C]
     wxT = _weights_T(px, C, mode).astype(cdt)                    # [vb, C, P]
     # t[v,r,p] = Σ_c f[v,r,c] · wxT[v,c,p]  (M=R rows streamed, N=P lanes)
     t = jax.lax.dot_general(
@@ -92,16 +91,16 @@ def _fwd_kernel(field_ref, py_ref, px_ref, out_ref, *, mode, cdt):
         preferred_element_type=jnp.float32,
     )                                                            # [vb, R, P]
     wyT = _weights_T(py, R, mode)                                # [vb, R, P]
-    out_ref[0] = jnp.sum(wyT * t, axis=1).T                      # [P, vb]
+    out_ref[0] = jnp.sum(wyT * t, axis=1)                        # [vb, P]
 
 
 def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
                 dfield_ref, dpy_ref, dpx_ref, *, mode, cdt):
-    R, C = field_ref.shape[-3], field_ref.shape[-2]
-    py = py_ref[0].T                                             # [vb, P]
-    px = px_ref[0].T
-    f = jnp.transpose(field_ref[0], (2, 0, 1)).astype(cdt)       # [vb, R, C]
-    g = g_ref[0].T                                               # [vb, P]
+    R, C = field_ref.shape[-2], field_ref.shape[-1]
+    py = py_ref[0]                                               # [vb, P]
+    px = px_ref[0]
+    f = field_ref[0].astype(cdt)                                 # [vb, R, C]
+    g = g_ref[0]                                                 # [vb, P]
     wxT = _weights_T(px, C, mode)                                # [vb, C, P]
     wyT = _weights_T(py, R, mode)                                # [vb, R, P]
     wxc = wxT.astype(cdt)
@@ -109,10 +108,10 @@ def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
     # d_field[v,r,c] = Σ_p wyT[v,r,p] g[v,p] wxT[v,c,p], accumulated across
     # position blocks (the grid revisits this output block with p innermost)
     wyg = (wyT * g[:, None, :]).astype(cdt)                      # [vb, R, P]
-    partial = jnp.transpose(jax.lax.dot_general(
+    partial = jax.lax.dot_general(
         wyg, wxc, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ), (1, 2, 0)).astype(dfield_ref.dtype)                       # [R, C, vb]
+    ).astype(dfield_ref.dtype)                                   # [vb, R, C]
 
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -125,17 +124,19 @@ def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
     # d_py[v,p] = g Σ_r K'y[v,r,p] · t[v,r,p],  t = x-interp of f
     t = jax.lax.dot_general(f, wxc, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)  # [vb, R, P]
-    dpy_ref[0] = (g * jnp.sum(_dweights_T(py, R, mode) * t, axis=1)).T
+    dpy_ref[0] = g * jnp.sum(_dweights_T(py, R, mode) * t, axis=1)
 
     # d_px[v,p] = g Σ_c K'x[v,c,p] · u[v,c,p],  u = y-interp of f
     u = jax.lax.dot_general(f, wyT.astype(cdt), (((1,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)  # [vb, C, P]
-    dpx_ref[0] = (g * jnp.sum(_dweights_T(px, C, mode) * u, axis=1)).T
+    dpx_ref[0] = g * jnp.sum(_dweights_T(px, C, mode) * u, axis=1)
 
 
 def _pick_vb(V: int) -> int:
-    """Lane-legal channel block: 128 when divisible, else the full axis."""
-    return _VB if V % _VB == 0 else V
+    for vb in (_VB, 4, 2, 1):
+        if V % vb == 0:
+            return vb
+    return 1
 
 
 def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool) -> int:
@@ -153,32 +154,31 @@ def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool) -> int:
     return pb if P % pb == 0 else P
 
 
-def _fwd_pv(field, py, px, mode, interpret):
-    """field [B,R,C,V], py/px [B,P,V] → out [B,P,V] fp32 (natural layouts)."""
-    B, R, C, V = field.shape
-    P = py.shape[1]
+def _fwd_tv(field_t, py_t, px_t, mode, interpret):
+    """field [B,V,R,C], py/px [B,V,P] → out [B,V,P] fp32 (channel-major)."""
+    B, V, R, C = field_t.shape
+    P = py_t.shape[-1]
     vb = _pick_vb(V)
     pb = _pick_pb(P, vb, R, C, bwd=False)
     grid = (B, V // vb, P // pb)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, mode=mode,
-                          cdt=_compute_dtype(field.dtype)),
-        out_shape=jax.ShapeDtypeStruct((B, P, V), jnp.float32),
+                          cdt=_compute_dtype(field_t.dtype)),
+        out_shape=jax.ShapeDtypeStruct((B, V, P), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, R, C, vb), lambda b, v, p: (b, 0, 0, v)),
-            pl.BlockSpec((1, pb, vb), lambda b, v, p: (b, p, v)),
-            pl.BlockSpec((1, pb, vb), lambda b, v, p: (b, p, v)),
+            pl.BlockSpec((1, vb, R, C), lambda b, v, p: (b, v, 0, 0)),
+            pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+            pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
         ],
-        out_specs=pl.BlockSpec((1, pb, vb), lambda b, v, p: (b, p, v)),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        out_specs=pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
         interpret=interpret,
-    )(field, py, px)
+    )(field_t, py_t, px_t)
 
 
-def _bwd_pv(field, py, px, g, mode, interpret):
-    B, R, C, V = field.shape
-    P = py.shape[1]
+def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret):
+    B, V, R, C = field_t.shape
+    P = py_t.shape[-1]
     vb = _pick_vb(V)
     pb = _pick_pb(P, vb, R, C, bwd=True)
     # p is the innermost grid dim: the d_field output block is revisited
@@ -186,48 +186,47 @@ def _bwd_pv(field, py, px, g, mode, interpret):
     grid = (B, V // vb, P // pb)
     dfield, dpy, dpx = pl.pallas_call(
         functools.partial(_bwd_kernel, mode=mode,
-                          cdt=_compute_dtype(field.dtype)),
+                          cdt=_compute_dtype(field_t.dtype)),
         out_shape=(
-            jax.ShapeDtypeStruct((B, R, C, V), jnp.float32),
-            jax.ShapeDtypeStruct((B, P, V), jnp.float32),
-            jax.ShapeDtypeStruct((B, P, V), jnp.float32),
+            jax.ShapeDtypeStruct((B, V, R, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, V, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, V, P), jnp.float32),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, R, C, vb), lambda b, v, p: (b, 0, 0, v)),
-            pl.BlockSpec((1, pb, vb), lambda b, v, p: (b, p, v)),
-            pl.BlockSpec((1, pb, vb), lambda b, v, p: (b, p, v)),
-            pl.BlockSpec((1, pb, vb), lambda b, v, p: (b, p, v)),
+            pl.BlockSpec((1, vb, R, C), lambda b, v, p: (b, v, 0, 0)),
+            pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+            pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+            pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
         ],
         out_specs=(
-            pl.BlockSpec((1, R, C, vb), lambda b, v, p: (b, 0, 0, v)),
-            pl.BlockSpec((1, pb, vb), lambda b, v, p: (b, p, v)),
-            pl.BlockSpec((1, pb, vb), lambda b, v, p: (b, p, v)),
+            pl.BlockSpec((1, vb, R, C), lambda b, v, p: (b, v, 0, 0)),
+            pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+            pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(field, py, px, g)
+    )(field_t, py_t, px_t, g_t)
     return dfield, dpy, dpx
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _interp_pv(field, py, px, mode, interpret):
-    return _fwd_pv(field, py, px, mode, interpret)
+def _interp_tv(field_t, py_t, px_t, mode, interpret):
+    return _fwd_tv(field_t, py_t, px_t, mode, interpret)
 
 
-def _interp_pv_fwd(field, py, px, mode, interpret):
-    out = _fwd_pv(field, py, px, mode, interpret)
-    return out, (field, py, px)
+def _interp_tv_fwd(field_t, py_t, px_t, mode, interpret):
+    out = _fwd_tv(field_t, py_t, px_t, mode, interpret)
+    return out, (field_t, py_t, px_t)
 
 
-def _interp_pv_bwd(mode, interpret, res, g):
-    field, py, px = res
-    dfield, dpy, dpx = _bwd_pv(field, py, px,
+def _interp_tv_bwd(mode, interpret, res, g):
+    field_t, py_t, px_t = res
+    dfield, dpy, dpx = _bwd_tv(field_t, py_t, px_t,
                                g.astype(jnp.float32), mode, interpret)
-    return dfield.astype(field.dtype), dpy, dpx
+    return dfield.astype(field_t.dtype), dpy, dpx
 
 
-_interp_pv.defvjp(_interp_pv_fwd, _interp_pv_bwd)
+_interp_tv.defvjp(_interp_tv_fwd, _interp_tv_bwd)
 
 
 def grid_sample_interp_pallas(field: jnp.ndarray, pix_y: jnp.ndarray,
@@ -236,13 +235,14 @@ def grid_sample_interp_pallas(field: jnp.ndarray, pix_y: jnp.ndarray,
     """Drop-in replacement for ``grid_sample_interp`` (channels-last API).
 
     field ``[B, R, C, V]``, positions ``[B, H, W, V]`` → ``[B, H, W, V]``.
-    All reshapes here are layout-preserving (no physical transposes).
     """
     if mode not in ("bilinear", "bicubic"):
         raise ValueError(f"mode must be bilinear|bicubic, got {mode!r}")
     B, R, C, V = field.shape
     _, H, W, _ = pix_y.shape
-    py = pix_y.astype(jnp.float32).reshape(B, H * W, V)
-    px = pix_x.astype(jnp.float32).reshape(B, H * W, V)
-    out = _interp_pv(field, py, px, mode, interpret)           # [B, P, V]
-    return out.reshape(B, H, W, V).astype(field.dtype)
+    field_t = jnp.moveaxis(field, -1, 1)                       # [B, V, R, C]
+    py_t = jnp.moveaxis(pix_y.astype(jnp.float32).reshape(B, H * W, V), -1, 1)
+    px_t = jnp.moveaxis(pix_x.astype(jnp.float32).reshape(B, H * W, V), -1, 1)
+    out_t = _interp_tv(field_t, py_t, px_t, mode, interpret)   # [B, V, P]
+    out = jnp.moveaxis(out_t, 1, -1).reshape(B, H, W, V)
+    return out.astype(field.dtype)

@@ -25,6 +25,9 @@ def main():
     p.add_argument("--store", default=None)
     p.add_argument("--samples", type=int, default=32)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--nlat", type=int, default=32,
+                   help="synthetic store grid (128x256 = 1.40625°)")
+    p.add_argument("--nlon", type=int, default=64)
     args = p.parse_args()
 
     from paradis_tpu.config import default_config
@@ -38,9 +41,9 @@ def main():
         from paradis_tpu.data.synthetic import build_raw_store
 
         tmp = Path(tempfile.mkdtemp(prefix="paradis_bench_"))
-        print("building 5.625°-sized synthetic store (one-time)...")
-        build_raw_store(str(tmp / "raw"), nlat=32, nlon=64, n_times=60,
-                        levels=tuple(cfg.features.pressure_levels))
+        print(f"building {args.nlat}x{args.nlon} synthetic store (one-time)...")
+        build_raw_store(str(tmp / "raw"), nlat=args.nlat, nlon=args.nlon,
+                        n_times=60, levels=tuple(cfg.features.pressure_levels))
         preprocess(str(tmp / "raw"), str(tmp / "store"), toa_time_stride=20)
         store = tmp / "store"
         start, end = "2000-01-01", "2000-01-12"
