@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -30,6 +31,34 @@ from paradis_tpu.sphere.padding import geocyclic_pad
 
 EARTH_ROTATION_RATE = 7.29212e-5  # rad/s (reference model/paradis.py:13-14)
 STATIC_DIM = 128  # static-encoder output width (reference model/paradis.py:83)
+
+
+class _LayerLoop(nn.Module):
+    """Python-loop layer stack over per-layer submodules.
+
+    Wrapped in ``nn.map_variables`` (see ``Paradis.__call__``) so the stored
+    parameter layout stays the stacked ``[num_layers, ...]`` format of the
+    ``nn.scan`` path — checkpoints, the optimizer's per-layer batched
+    Newton–Schulz and the reference-weight transplant all keep working — while
+    the compute graph is straight-line code.  Rationale: differentiating
+    ``lax.scan`` stacks every layer's residual activations into ``[L, ...]``
+    buffers via dynamic-update-slice even when fully unrolled, a pure-copy
+    pass measured at ~9 ms/step on the 5.625° flagship workload (device
+    profile); with a Python loop the residuals are the producing fusions' own
+    outputs and the copies vanish.
+    """
+
+    num_layers: int
+    layer_cls: Any
+    layer_kwargs: dict
+
+    @nn.compact
+    def __call__(self, hidden, hidden_static, lat_grid, lon_grid):
+        for i in range(self.num_layers):
+            hidden, _ = self.layer_cls(name=f"layer_{i}", **self.layer_kwargs)(
+                hidden, hidden_static, lat_grid, lon_grid
+            )
+        return hidden, None
 
 
 def get_scaled_timestep(dt_seconds: float) -> float:
@@ -289,18 +318,50 @@ class Paradis(nn.Module):
         layer_cls = PhysicsLayer
         if self.gradient_checkpointing:
             layer_cls = nn.remat(PhysicsLayer, prevent_cse=False)
-        unroll = self.scan_unroll if self.scan_unroll > 0 else self.num_layers
-        ScannedLayers = nn.scan(
-            layer_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-            length=self.num_layers,
-            unroll=min(unroll, self.num_layers),
-        )
-        hidden, _ = ScannedLayers(name="layers", **layer_kwargs)(
-            hidden, hidden_static, lat_grid, lon_grid
-        )
+        L = self.num_layers
+        unroll = self.scan_unroll if self.scan_unroll > 0 else L
+        if unroll >= L:
+            # fully unrolled: Python loop, but stored params keep the scan's
+            # stacked [L, ...] layout via map_variables (see _LayerLoop)
+            # trans fns see {"params": <module tree>}
+            def _split(cols):
+                tree = cols.get("params", {})
+                if not tree:
+                    return cols
+                split = {
+                    f"layer_{i}": jax.tree.map(lambda x: x[i], tree)
+                    for i in range(L)
+                }
+                return {**cols, "params": split}
+
+            def _stack(cols):
+                tree = cols.get("params", {})
+                if not tree:
+                    return cols
+                per_layer = [tree[f"layer_{i}"] for i in range(L)]
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+                return {**cols, "params": stacked}
+
+            Looped = nn.map_variables(
+                _LayerLoop, "params",
+                trans_in_fn=_split, trans_out_fn=_stack, init=True,
+            )
+            hidden, _ = Looped(
+                num_layers=L, layer_cls=layer_cls, layer_kwargs=layer_kwargs,
+                name="layers",
+            )(hidden, hidden_static, lat_grid, lon_grid)
+        else:
+            ScannedLayers = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=L,
+                unroll=min(unroll, L),
+            )
+            hidden, _ = ScannedLayers(name="layers", **layer_kwargs)(
+                hidden, hidden_static, lat_grid, lon_grid
+            )
 
         hidden = periodic_upsample(hidden, H, W) + skip
 

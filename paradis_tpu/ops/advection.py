@@ -87,7 +87,15 @@ def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto"):
         P = pix_y.shape[1] * pix_y.shape[2]
         weight_elems = B * P * V * (R + C)
         big = weight_elems > 2**28  # ≈0.5 GB bf16 per layer
-        impl = "pallas" if (big and jax.default_backend() == "tpu") else "xla"
+        if jax.default_backend() == "tpu":
+            impl = "pallas" if big else "xla"
+        else:
+            # the dense contraction is an MXU design (trades O(P·V·(R+C))
+            # materialized weights for batched GEMMs); on CPU/GPU backends the
+            # gather path wins by orders of magnitude at flagship size —
+            # except at toy sizes, where the dense path's compile+run is
+            # cheap and numerically bit-identical to the TPU configuration
+            impl = "gather" if weight_elems > 2**24 else "xla"
     if impl == "pallas":
         from paradis_tpu.ops.interp_pallas import grid_sample_interp_pallas
 
