@@ -22,7 +22,11 @@ from pathlib import Path
 
 import numpy as np
 
-BATCH = 1
+import os
+
+# batch 1/device is the reference's training configuration (BASELINE.md);
+# PARADIS_BENCH_BATCH overrides for batch-scaling measurements
+BATCH = int(os.environ.get("PARADIS_BENCH_BATCH", "1"))
 WARMUP_STEPS = 2
 # The axon TPU tunnel adds a ~33 ms RPC round-trip to every host-visible
 # result fetch, so wall-clock over a fixed chain would be latency-dominated.
