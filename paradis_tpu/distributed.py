@@ -7,9 +7,17 @@ collectives (all-reduce for gradients over ICI/DCN, halo collective-permutes
 for spatially sharded convolutions):
 
   * ``data`` axis — batch sharding (DP; gradient psum falls out of jit),
-  * ``space`` axis — longitude sharding of the lat-lon grid (the spatial
-    analogue of context parallelism for this attention-free model; geocyclic
-    padding and SepConvs partition via GSPMD halo exchange).
+  * ``lat`` axis — latitude sharding of the lat-lon grid,
+  * ``space`` axis — longitude sharding of the lat-lon grid.
+
+The two spatial axes are the spatial analogue of context parallelism for
+this attention-free model: geocyclic padding (including the pole
+roll-and-flip), SepConv stencils and the dense advection contractions
+partition via GSPMD halo exchanges / collective permutes — no hand-written
+collectives.  A ``(data, lat, space)`` mesh therefore covers DP × 2-D
+spatial decomposition, which is every axis this model has (no attention →
+no sequence axis; no MoE → no expert axis; model fits on-chip → no TP/PP
+need at reference scale, see SURVEY.md §2.3).
 
 Multi-host: call :func:`initialize_distributed` first (wraps
 ``jax.distributed.initialize``); the mesh then spans all processes' devices.
@@ -22,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+LAT_AXIS = "lat"
 SPACE_AXIS = "space"
 
 
@@ -34,27 +43,29 @@ def initialize_distributed(coordinator: str | None = None, num_processes: int | 
                                num_processes=num_processes, process_id=process_id)
 
 
-def create_mesh(data: int | None = None, space: int = 1,
+def create_mesh(data: int | None = None, space: int = 1, lat: int = 1,
                 devices=None) -> Mesh:
-    """Build a ``(data, space)`` mesh over the available devices."""
+    """Build a ``(data, lat, space)`` mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // space
-    if data * space != n:
-        raise ValueError(f"mesh {data}x{space} does not match {n} devices")
-    arr = np.asarray(devices).reshape(data, space)
-    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+        data = n // (space * lat)
+    if data * lat * space != n:
+        raise ValueError(
+            f"mesh {data}x{lat}x{space} does not match {n} devices")
+    arr = np.asarray(devices).reshape(data, lat, space)
+    return Mesh(arr, (DATA_AXIS, LAT_AXIS, SPACE_AXIS))
 
 
 def mesh_from_config(cfg) -> Mesh:
     space = int(cfg.compute.get("spatial_devices", 1))
+    lat = int(cfg.compute.get("lat_devices", 1))
     data = int(cfg.compute.get("num_devices", 1)) * int(cfg.compute.get("num_nodes", 1))
     n = len(jax.devices())
-    if data * space != n:
-        # use whatever is actually available, preserving the space factor
-        data = max(1, n // space)
-    return create_mesh(data=data, space=space)
+    if data * lat * space != n:
+        # use whatever is actually available, preserving the spatial factors
+        data = max(1, n // (lat * space))
+    return create_mesh(data=data, space=space, lat=lat)
 
 
 def _rows_for_process(row_process: list[set], me: int) -> tuple[int, int]:
@@ -134,10 +145,12 @@ def batch_shardings(mesh: Mesh) -> dict:
     """NamedShardings for the training-batch dict.
 
     Layouts: input [B,H,W,C], target/forcings [B,S,H,W,C], constants [B,H,W,K];
-    batch on ``data``, longitude on ``space``.
+    batch on ``data``, latitude on ``lat`` (when the mesh has it), longitude
+    on ``space``.
     """
-    s4 = NamedSharding(mesh, P(DATA_AXIS, None, SPACE_AXIS, None))
-    s5 = NamedSharding(mesh, P(DATA_AXIS, None, None, SPACE_AXIS, None))
+    lat = LAT_AXIS if LAT_AXIS in mesh.axis_names else None
+    s4 = NamedSharding(mesh, P(DATA_AXIS, lat, SPACE_AXIS, None))
+    s5 = NamedSharding(mesh, P(DATA_AXIS, None, lat, SPACE_AXIS, None))
     return {"input": s4, "target": s5, "forcings": s5, "constants": s4}
 
 

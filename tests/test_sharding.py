@@ -14,6 +14,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from paradis_tpu.config import default_config
 from paradis_tpu.distributed import (
     DATA_AXIS,
+    LAT_AXIS,
     SPACE_AXIS,
     batch_shardings,
     create_mesh,
@@ -67,7 +68,9 @@ def test_eight_devices_available():
 
 def test_mesh_construction():
     mesh = create_mesh(data=4, space=2)
-    assert mesh.shape == {DATA_AXIS: 4, SPACE_AXIS: 2}
+    assert mesh.shape == {DATA_AXIS: 4, LAT_AXIS: 1, SPACE_AXIS: 2}
+    mesh3 = create_mesh(data=2, lat=2, space=2)
+    assert mesh3.shape == {DATA_AXIS: 2, LAT_AXIS: 2, SPACE_AXIS: 2}
     with pytest.raises(ValueError):
         create_mesh(data=3, space=2)
 
@@ -118,12 +121,35 @@ def test_pure_spatial_sharding():
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
 
 
+def test_2d_spatial_sharding():
+    """data=2 × lat=2 × space=2: the full DP × 2-D spatial decomposition.
+
+    Latitude sharding drives the geocyclic pole roll-and-flip, the SepConv
+    stencils and the dense advection contraction through GSPMD collective
+    permutes; results must match the single-device program.
+    """
+    batch = _batch(B=2, seed=7)
+    s1, m1 = _run_step(None, batch, seed=2)
+    s2, m2 = _run_step({"data": 2, "lat": 2, "space": 2}, batch, seed=2)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pure_latitude_sharding():
+    batch = _batch(B=2, seed=11)
+    s1, m1 = _run_step(None, batch, seed=3)
+    s2, m2 = _run_step({"data": 1, "lat": 8, "space": 1}, batch, seed=3)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
 def test_shard_batch_layouts():
     mesh = create_mesh(data=4, space=2)
     batch = shard_batch(_batch(B=4), mesh)
     sh = batch_shardings(mesh)
     assert batch["input"].sharding.spec == sh["input"].spec
-    assert batch["target"].sharding.spec == P(DATA_AXIS, None, None, SPACE_AXIS, None)
+    assert batch["target"].sharding.spec == P(
+        DATA_AXIS, None, LAT_AXIS, SPACE_AXIS, None)
 
 
 def test_multi_step_rollout_sharded():

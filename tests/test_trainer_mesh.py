@@ -23,7 +23,7 @@ def test_trainer_on_mesh(store, tmp_path_factory):
     })
     t = Trainer(cfg, log_dir=str(tmp_path_factory.mktemp("mlogs")))
     assert t.mesh is not None
-    assert dict(t.mesh.shape) == {"data": 4, "space": 2}
+    assert dict(t.mesh.shape) == {"data": 4, "lat": 1, "space": 2}
     # global batch = per-shard batch x data axis
     assert t.train_loader.batch_size == 4
     res = t.fit()
