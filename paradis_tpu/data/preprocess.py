@@ -104,12 +104,19 @@ class _RawReader:
     optional pole removal, and optional regridding (reference
     preprocess_dataset.py:218-230)."""
 
+    #: accepted spellings of the spatial coordinate names (the WB2 catalogue
+    #: uses both "latitude"/"longitude" and "lat"/"lon" across resolutions)
+    _LAT_NAMES = ("latitude", "lat")
+    _LON_NAMES = ("longitude", "lon")
+
     def __init__(self, path: str, remove_poles: bool = False,
                  interp_deg: float = 0.0):
         self.group = zarrlite.open_store(path)
         self.times = np.asarray(self.group["time"][...]).astype("datetime64[s]")
-        lat = np.asarray(self.group["latitude"][...], np.float64)
-        lon = np.asarray(self.group["longitude"][...], np.float64)
+        self._lat_name = next(n for n in self._LAT_NAMES if n in self.group.arrays())
+        self._lon_name = next(n for n in self._LON_NAMES if n in self.group.arrays())
+        lat = np.asarray(self.group[self._lat_name][...], np.float64)
+        lon = np.asarray(self.group[self._lon_name][...], np.float64)
         self.lat_order = np.argsort(lat)
         self.lon_order = np.argsort(lon)
         self.lat = lat[self.lat_order]
@@ -149,14 +156,31 @@ class _RawReader:
     def has(self, name: str) -> bool:
         return name in self.group.arrays()
 
+    def _canonical(self, arr: np.ndarray, dims: tuple) -> np.ndarray:
+        """Transpose to the canonical [lat, lon(, level)] axis order.
+
+        Genuine WB2 archives store atmospheric variables as
+        ``[time, level, lat, lon]`` while this preprocessor's internal
+        convention is level-last; ``_ARRAY_DIMENSIONS`` (written by
+        xarray/zarr for every WB2 array) drives the permutation.  Arrays
+        without the attribute are assumed already canonical.
+        """
+        if not dims or len(dims) != arr.ndim:
+            return arr
+        order = [dims.index(self._lat_name), dims.index(self._lon_name)]
+        if "level" in dims:
+            order.append(dims.index("level"))
+        return arr.transpose(order)
+
     def read_time(self, name: str, t: int) -> np.ndarray:
         """One timestep of a time-varying var → [H, W] or [H, W, L]."""
-        arr = np.asarray(self.group[name][t])[self.lat_order][:, self.lon_order]
-        return self._apply_grid(arr)
+        dims = tuple(d for d in self.dims(name) if d != "time")
+        arr = self._canonical(np.asarray(self.group[name][t]), dims)
+        return self._apply_grid(arr[self.lat_order][:, self.lon_order])
 
     def read_static(self, name: str) -> np.ndarray:
-        arr = np.asarray(self.group[name][...])[self.lat_order][:, self.lon_order]
-        return self._apply_grid(arr)
+        arr = self._canonical(np.asarray(self.group[name][...]), self.dims(name))
+        return self._apply_grid(arr[self.lat_order][:, self.lon_order])
 
 
 def _regrid_matrix(src_deg: np.ndarray, dst_deg: np.ndarray) -> np.ndarray:

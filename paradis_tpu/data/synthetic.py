@@ -58,27 +58,36 @@ def _smooth_field(rng, shape_hw, mean, scale, t_phase=0.0):
 def build_raw_store(out_dir: str, nlat: int = 8, nlon: int = 16, n_times: int = 24,
                     levels=(500, 850, 1000), start="2000-01-01T00:00:00",
                     dt_hours: int = 6, seed: int = 0,
-                    compressor: dict | None = None) -> None:
+                    compressor: dict | None = None,
+                    wb2_layout: bool = False) -> None:
     """Write a raw WB2-shaped store under ``out_dir``.
 
     ``compressor`` overrides the chunk codec; pass
     ``{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}`` to mirror a
     genuine WeatherBench-2 download byte-for-byte in layout and codec.
+
+    ``wb2_layout=True`` mirrors the genuine archive's axis conventions
+    instead of this package's canonical ones: atmospheric arrays stored as
+    ``[time, level, lat, lon]``, coordinates named ``lat``/``lon``, latitude
+    descending — exercising the reader's dimension canonicalization.
     """
     rng = np.random.default_rng(seed)
     g = zarrlite.create_group(out_dir, overwrite=True)
 
     lat = (-90 + 180.0 / (2 * nlat)) + (180.0 / nlat) * np.arange(nlat)
     lon = np.arange(nlon) * (360.0 / nlon)
+    lat_name, lon_name = ("lat", "lon") if wb2_layout else ("latitude", "longitude")
+    lat_out = lat[::-1].copy() if wb2_layout else lat
+    lat_flip = (slice(None, None, -1) if wb2_layout else slice(None))
     times = np.datetime64(start, "s") + np.arange(n_times) * np.timedelta64(dt_hours, "h")
     levels = np.asarray(levels, np.int64)
 
     g.create_array("time", shape=(n_times,), dtype=times.dtype, data=times,
                    dims=("time",), overwrite=True)
-    g.create_array("latitude", shape=(nlat,), dtype=np.float64, data=lat,
-                   dims=("latitude",), overwrite=True)
-    g.create_array("longitude", shape=(nlon,), dtype=np.float64, data=lon,
-                   dims=("longitude",), overwrite=True)
+    g.create_array(lat_name, shape=(nlat,), dtype=np.float64, data=lat_out,
+                   dims=(lat_name,), overwrite=True)
+    g.create_array(lon_name, shape=(nlon,), dtype=np.float64, data=lon,
+                   dims=(lon_name,), overwrite=True)
     g.create_array("level", shape=(len(levels),), dtype=np.int64, data=levels,
                    dims=("level",), overwrite=True)
 
@@ -92,9 +101,19 @@ def build_raw_store(out_dir: str, nlat: int = 8, nlon: int = 16, n_times: int = 
                                                   t_phase=0.3 * t)
         if name == "specific_humidity":
             data = np.clip(data, 1e-6, None)
-        g.create_array(name, shape=data.shape, chunks=(1, nlat, nlon, len(levels)),
-                       dtype=np.float32, compressor=comp, data=data,
-                       dims=("time", "latitude", "longitude", "level"), overwrite=True)
+        if wb2_layout:
+            out = data[:, lat_flip].transpose(0, 3, 1, 2)  # [T, L, H, W]
+            g.create_array(name, shape=out.shape,
+                           chunks=(1, len(levels), nlat, nlon),
+                           dtype=np.float32, compressor=comp, data=out,
+                           dims=("time", "level", lat_name, lon_name),
+                           overwrite=True)
+        else:
+            g.create_array(name, shape=data.shape,
+                           chunks=(1, nlat, nlon, len(levels)),
+                           dtype=np.float32, compressor=comp, data=data,
+                           dims=("time", lat_name, lon_name, "level"),
+                           overwrite=True)
 
     for name, (mean, scale) in SURFACE_VARS.items():
         data = np.empty((n_times, nlat, nlon), np.float32)
@@ -103,16 +122,18 @@ def build_raw_store(out_dir: str, nlat: int = 8, nlon: int = 16, n_times: int = 
         if name == "total_precipitation_6hr":
             data = np.clip(data, 0.0, None)
         g.create_array(name, shape=data.shape, chunks=(1, nlat, nlon),
-                       dtype=np.float32, compressor=comp, data=data,
-                       dims=("time", "latitude", "longitude"), overwrite=True)
+                       dtype=np.float32, compressor=comp, data=data[:, lat_flip],
+                       dims=("time", lat_name, lon_name), overwrite=True)
 
     for name, (mean, scale) in STATIC_VARS.items():
         data = np.clip(_smooth_field(rng, (nlat, nlon), mean, scale), 0.0, None)
-        g.create_array(name, shape=data.shape, dtype=np.float32, data=data,
-                       dims=("latitude", "longitude"), overwrite=True)
+        g.create_array(name, shape=data.shape, dtype=np.float32,
+                       data=data[lat_flip],
+                       dims=(lat_name, lon_name), overwrite=True)
     lsm = (_smooth_field(rng, (nlat, nlon), 0.3, 0.5) > 0.3).astype(np.float32)
-    g.create_array("land_sea_mask", shape=lsm.shape, dtype=np.float32, data=lsm,
-                   dims=("latitude", "longitude"), overwrite=True)
+    g.create_array("land_sea_mask", shape=lsm.shape, dtype=np.float32,
+                   data=lsm[lat_flip],
+                   dims=(lat_name, lon_name), overwrite=True)
     g.consolidate()
 
 

@@ -35,6 +35,41 @@ _TRUTH_NAME = {
 }
 
 
+class WB2TruthReader:
+    """Reads truth fields directly from a raw WB2-layout archive.
+
+    Accepts a genuine WeatherBench-2 download (Blosc-compressed chunks,
+    ``[time, level, lat, lon]`` atmospheric arrays, either coordinate-name
+    spelling, any latitude order) via the preprocessor's ``_RawReader``
+    canonicalization — so forecasts can be scored against the archive
+    without preprocessing the truth window first (the reference defers this
+    entirely to external WB2 tooling).
+    """
+
+    def __init__(self, root: str):
+        from paradis_tpu.data.preprocess import _RawReader
+
+        self._r = _RawReader(str(root))
+        self.times = self._r.times
+        self.lat = self._r.lat
+        self._levels = [int(l) for l in self._r.levels]
+
+    def field(self, name: str, time: np.datetime64) -> np.ndarray | None:
+        idx = int(np.searchsorted(self.times, time.astype("datetime64[s]")))
+        if idx >= len(self.times) or self.times[idx] != time:
+            return None
+        var, _, suffix = name.rpartition("_h")
+        if var and suffix.isdigit():
+            level = int(suffix)
+            if level not in self._levels or not self._r.has(var):
+                return None
+            arr = self._r.read_time(var, idx)          # [H, W, L]
+            return arr[..., self._levels.index(level)]
+        if not self._r.has(name):
+            return None
+        return self._r.read_time(name, idx)
+
+
 class TruthReader:
     """Reads denormalized truth fields from a preprocessed store."""
 
@@ -61,12 +96,25 @@ class TruthReader:
         return None
 
 
+def open_truth(truth_root: str):
+    """Auto-detect the truth layout: preprocessed per-year store vs raw WB2.
+
+    A preprocessed root contains per-year subdirectories holding a stacked
+    ``data`` array; anything else is treated as a raw WB2-layout archive.
+    """
+    root = Path(truth_root)
+    year_dirs = sorted(p for p in root.iterdir() if p.name.isdigit())
+    if year_dirs:
+        return TruthReader(truth_root)
+    return WB2TruthReader(truth_root)
+
+
 def evaluate_store(forecast_path: str, truth_root: str,
                    variables: list[tuple[str, int | None]],
                    lead_hours: list[int]) -> dict:
     """RMSE per (variable, lead) over all init times with available truth."""
     fc = zarrlite.open_store(forecast_path)
-    truth = TruthReader(truth_root)
+    truth = open_truth(truth_root)
     init_times = np.asarray(fc["time"][...]).astype("datetime64[s]")
     tds = np.asarray(fc["prediction_timedelta"][...]).astype("timedelta64[h]")
     levels = [int(l) for l in np.asarray(fc["level"][...])]
