@@ -43,22 +43,36 @@ def sh(cmd: list[str], **kw) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
-    ap.add_argument("--steps", type=int, default=3000)
-    ap.add_argument("--times", type=int, default=1700,
-                    help="6-hourly states (~14 months)")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--times", type=int, default=None,
+                    help="6-hourly states (default ~14 months; 400 highres)")
+    ap.add_argument("--highres", action="store_true",
+                    help="1.40625° (128x256) variant: shorter window, "
+                    "gradient checkpointing, Pallas advection dispatch")
     ap.add_argument("--skip-data", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
 
+    nlat, nlon = (128, 256) if args.highres else (32, 64)
+    steps = args.steps if args.steps is not None else (300 if args.highres else 3000)
+    times = args.times if args.times is not None else (400 if args.highres else 1700)
+    if args.highres:
+        # 400 states = 100 days: train Jan-Mar 20, hold out Mar 21-Apr 10
+        train_end, val_start, val_end = "2000-03-20", "2000-03-21", "2000-04-10"
+        fc_start, fc_end = "2000-03-21", "2000-03-31"
+    else:
+        train_end, val_start, val_end = "2000-12-31", "2001-01-01", "2001-01-15"
+        fc_start, fc_end = "2001-01-01", "2001-02-20"
+
     wd = Path(args.workdir)
     wd.mkdir(parents=True, exist_ok=True)
-    summary: dict = {"steps": args.steps}
+    summary: dict = {"steps": steps, "grid": f"{nlat}x{nlon}"}
     py = sys.executable
 
     # -- 1+2: data ---------------------------------------------------------------
     if not args.skip_data:
         t = sh([py, "-m", "paradis_tpu.data.synthetic", "--out", wd / "raw",
-                "--nlat", 32, "--nlon", 64, "--times", args.times,
+                "--nlat", nlat, "--nlon", nlon, "--times", times,
                 "--levels", *LEVELS_13, "--start", "2000-01-01T00:00:00"])
         summary["synthesize_s"] = round(t, 1)
         t = sh([py, "-m", "paradis_tpu.cli.preprocess",
@@ -68,9 +82,9 @@ def main():
     common = [
         f"dataset.root_dir={wd / 'prep'}",
         "training.dataset.start_date=2000-01-01",
-        "training.dataset.end_date=2000-12-31",
-        "training.validation_dataset.start_date=2001-01-01",
-        "training.validation_dataset.end_date=2001-01-15",
+        f"training.dataset.end_date={train_end}",
+        f"training.validation_dataset.start_date={val_start}",
+        f"training.validation_dataset.end_date={val_end}",
         "training.validation_dataset.validation_batches=8",
         "training.scheduler.wsd.warmup=100",
         "training.scheduler.wsd.decay=0.1",
@@ -82,15 +96,19 @@ def main():
         "training.progress_bar=false",
         "training.max_epochs=1000",
     ]
+    if args.highres:
+        common += ["compute.gradient_checkpointing=true",
+                   "training.sync_every_n_steps=8",
+                   "training.validation_dataset.validation_every_n_steps=150"]
 
     # -- 3: two-segment training with restart ------------------------------------
     if not args.skip_train:
-        half = args.steps // 2
+        half = steps // 2
         t = sh([py, "-m", "paradis_tpu.cli.train", *common,
                 f"training.max_steps={half}"])
         summary["train_seg1_s"] = round(t, 1)
         t = sh([py, "-m", "paradis_tpu.cli.train", *common,
-                f"training.max_steps={args.steps}",
+                f"training.max_steps={steps}",
                 "init.restart=true",
                 f"init.checkpoint_path={wd / 'logs' / 'checkpoints'}"])
         summary["train_seg2_s"] = round(t, 1)
@@ -111,7 +129,7 @@ def main():
             "--checkpoint-path", ckpt_dir,
             "--output-file", wd / "forecast.zarr",
             "--forecast-steps", 40, "--sampling-interval", "36h",
-            "--start-date", "2001-01-01", "--end-date", "2001-02-20",
+            "--start-date", fc_start, "--end-date", fc_end,
             f"dataset.root_dir={wd / 'prep'}"])
     summary["forecast_s"] = round(t, 1)
 
