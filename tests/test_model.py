@@ -113,3 +113,34 @@ def test_wrong_spatial_dims_raises():
     x = jnp.zeros((1, 6, 16, 20), jnp.float32)
     with pytest.raises(ValueError):
         m.init(KEY, x)
+
+
+def test_loop_matches_scan_layer_stack():
+    """The Python-loop layer stack (scan_unroll=0, the default) is
+    numerically identical to the lax.scan form (scan_unroll=1) and stores
+    the same stacked [num_layers, ...] parameter tree."""
+    m_loop = tiny_model(num_layers=3, scan_unroll=0)
+    m_scan = tiny_model(num_layers=3, scan_unroll=1)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 16, 20)),
+                    jnp.float32)
+    p_loop = m_loop.init(KEY, x)
+    p_scan = m_scan.init(KEY, x)
+    assert (jax.tree_util.tree_structure(p_loop)
+            == jax.tree_util.tree_structure(p_scan))
+    assert jax.tree.all(jax.tree.map(lambda a, b: a.shape == b.shape,
+                                     p_loop, p_scan))
+
+    # same stored params -> same outputs and (reassociation-level) grads
+    y_scan = m_scan.apply(p_scan, x)
+    y_loop = m_loop.apply(p_scan, x)
+    np.testing.assert_allclose(np.asarray(y_loop), np.asarray(y_scan),
+                               atol=2e-6)
+
+    def loss(mdl, p):
+        return jnp.sum(jnp.sin(mdl.apply(p, x)))
+
+    g_scan = jax.grad(lambda p: loss(m_scan, p))(p_scan)
+    g_loop = jax.grad(lambda p: loss(m_loop, p))(p_scan)
+    for a, b in zip(jax.tree.leaves(g_loop), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
