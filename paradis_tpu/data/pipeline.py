@@ -82,14 +82,47 @@ class BatchLoader:
             self._rng.shuffle(order)
         return order
 
+    def _place(self, batch: dict) -> dict:
+        """Host batch → device arrays (global assembly on multi-host)."""
+        if self._local_slice is not None:
+            from paradis_tpu import distributed
+
+            return distributed.make_global_batch(batch, self.mesh,
+                                                 self.batch_size)
+        if not self.device_put:
+            return batch
+        put = {}
+        for k, v in batch.items():
+            if k == "index":
+                put[k] = v
+            elif isinstance(self.sharding, dict):
+                put[k] = jax.device_put(v, self.sharding[k]) \
+                    if k in self.sharding else jax.device_put(v)
+            elif self.sharding is not None:
+                put[k] = jax.device_put(v, self.sharding)
+            else:
+                put[k] = jax.device_put(v)
+        return put
+
     def __iter__(self) -> Iterator[dict]:
+        """Two-stage prefetch pipeline: assemble → place-on-device.
+
+        Sample assembly (zarr decode + normalization + forcings, ~19 ms at
+        5.625°) and the host→device transfer (a blocking RPC of ~33 ms
+        through the axon tunnel; sub-ms DMA on a real TPU host) run in
+        SEPARATE threads so their latencies overlap each other and the
+        device step — a single worker serializing the two stages capped the
+        live training loop at ~1/(assemble+put) samples/s (measured ~15/s
+        vs the 26/s device rate at 5.625°).
+        """
         order = self._epoch_order()
         self._epoch += 1
         n_batches = len(self)
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        q_host: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        q_dev: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def worker():
+        def assemble_worker():
             try:
                 for b in range(n_batches):
                     if stop.is_set():
@@ -97,35 +130,28 @@ class BatchLoader:
                     idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
                     if self._local_slice is not None:
                         idxs = idxs[self._local_slice]
-                    batch = self._collate([self.dataset[int(i)] for i in idxs])
-                    if self._local_slice is not None:
-                        from paradis_tpu import distributed
-
-                        batch = distributed.make_global_batch(
-                            batch, self.mesh, self.batch_size)
-                    elif self.device_put:
-                        put = {}
-                        for k, v in batch.items():
-                            if k == "index":
-                                put[k] = v
-                            elif isinstance(self.sharding, dict):
-                                put[k] = jax.device_put(v, self.sharding[k]) \
-                                    if k in self.sharding else jax.device_put(v)
-                            elif self.sharding is not None:
-                                put[k] = jax.device_put(v, self.sharding)
-                            else:
-                                put[k] = jax.device_put(v)
-                        batch = put
-                    q.put(batch)
-                q.put(None)
+                    q_host.put(self._collate(
+                        [self.dataset[int(i)] for i in idxs]))
+                q_host.put(None)
             except Exception as e:  # surface worker errors in the consumer
-                q.put(e)
+                q_host.put(e)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        def place_worker():
+            try:
+                while not stop.is_set():
+                    item = q_host.get()
+                    if item is None or isinstance(item, Exception):
+                        q_dev.put(item)
+                        return
+                    q_dev.put(self._place(item))
+            except Exception as e:
+                q_dev.put(e)
+
+        threading.Thread(target=assemble_worker, daemon=True).start()
+        threading.Thread(target=place_worker, daemon=True).start()
         try:
             while True:
-                item = q.get()
+                item = q_dev.get()
                 if item is None:
                     return
                 if isinstance(item, Exception):

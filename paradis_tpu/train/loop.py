@@ -164,7 +164,12 @@ class Trainer:
         self.max_steps = max_steps
         self.schedule, self.plateau = build_schedule(cfg, max_steps)
 
-        self.ckpt = CheckpointManager(self.log_dir / "checkpoints")
+        ck = cfg.training.checkpointing
+        self.ckpt = CheckpointManager(
+            self.log_dir / "checkpoints",
+            keep_steps=int(ck.get("keep_steps", 10)),
+            step_every=int(ck.get("step_every", 100)),
+        )
         if cfg.init.checkpoint_path and cfg.init.restart:
             log.info("resuming full state from %s", cfg.init.checkpoint_path)
             self.state = self.ckpt.restore(self.state, cfg.init.checkpoint_path)
