@@ -66,7 +66,11 @@ KEEP_STATIC = [
     "standard_deviation_of_orography",
 ]
 
-COMPRESSOR = {"id": "zlib", "level": 1}
+# Blosc-LZ4 with byte shuffle: ~5x faster chunk decode than zlib-1 (the
+# training loop's dominant host cost — zlib decode measured 13 of the
+# 19 ms/sample assembly at 5.625°) at similar float compression ratios;
+# the same container format the genuine WB2 archives use.
+COMPRESSOR = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}
 
 
 def cartesian_wind_3d(u, v, w_omega, temperature, levels_pa, lat_rad, lon_rad):
