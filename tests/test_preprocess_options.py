@@ -62,3 +62,23 @@ def test_periodic_regrid_wraps():
     m = _regrid_matrix_periodic(src, dst)
     vals = m @ np.array([10.0, 0.0, 0.0, 20.0])
     np.testing.assert_allclose(vals, [15.0])
+
+
+def test_13_level_preset_selects_subset(tmp_path):
+    """--levels 13 picks the reference's 13-level preset out of a store
+    holding a superset (reference preprocess_dataset.py:172-181)."""
+    from paradis_tpu.data import zarrlite
+    from paradis_tpu.data.preprocess import LEVELS_13, preprocess
+    from paradis_tpu.data.synthetic import build_raw_store
+
+    extra = sorted(set(LEVELS_13) | {775, 875})   # superset of the preset
+    build_raw_store(str(tmp_path / "raw"), nlat=8, nlon=16, n_times=4,
+                    levels=tuple(extra))
+    preprocess(str(tmp_path / "raw"), str(tmp_path / "out"), levels=13,
+               toa_time_stride=2)
+    g = zarrlite.open_store(tmp_path / "out" / "2000")
+    feats = [str(f) for f in g["features"][...]]
+    geos = sorted(int(f.rsplit("_h", 1)[1]) for f in feats
+                  if f.startswith("geopotential_h"))
+    assert geos == sorted(LEVELS_13)
+    assert not any(f.endswith("_h775") or f.endswith("_h875") for f in feats)
