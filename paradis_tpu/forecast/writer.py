@@ -5,7 +5,7 @@ Mirrors reference ``utils/file_output.py:178-377``:
     layout pre-allocated for every init time (td=0 holds the initial state),
   * WB2 variable renames (wind_x → u_component_of_wind, …),
   * derived ``dewpoint_depression`` field,
-  * float32 + BitRound(16) + zlib encoding,
+  * float32 + BitRound(16) + Blosc-zstd encoding (the reference codec),
   * region writes of sorted contiguous sample groups — disjoint by
     construction, so multi-device forecast writers never race.
 """
@@ -34,7 +34,10 @@ _RENAME_SURF = {
     "wind_y_10m": "10m_v_component_of_wind",
 }
 
-_ENC = {"compressor": {"id": "zlib", "level": 1},
+# the reference's forecast encoding exactly (file_output.py:14-28):
+# float32 + BitRound(16) + Blosc-zstd-5 with byte shuffle
+_ENC = {"compressor": {"id": "blosc", "cname": "zstd", "clevel": 5,
+                       "shuffle": 1},
         "filters": [{"id": "bitround", "keepbits": 16}]}
 
 
