@@ -238,21 +238,28 @@ class PhysicalDownsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # the reference pools even at stride 1 (a 5x5 smoothing pass);
-        # implemented as a depthwise ones-kernel conv — differentiable under
-        # scan (generic reduce_window is not) and just as fast through XLA
+        # the reference pools even at stride 1 (a 5x5 smoothing pass).  The
+        # mean is separable: 5-row sum then 5-col sum as static-slice adds —
+        # pure fused elementwise work.  A grouped ones-kernel conv computes
+        # the same thing but lowers to slow grouped-conv kernels on TPU
+        # (~0.3 ms per call at 5.625° vs ~0.05 for the stencil, and the
+        # backward grouped transposed conv is worse).
+        out_dtype = x.dtype
+        H, W = x.shape[-3], x.shape[-2]
         x = geocyclic_pad(x, 2)
         s = self.stride
-        c = x.shape[-1]
-        kernel = jnp.full((5, 5, 1, c), 1.0 / 25.0, x.dtype)
-        return jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=(s, s),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-        )
+        h_out = (H - 1) // s + 1
+        w_out = (W - 1) // s + 1
+        xf = x.astype(jnp.float32)
+        rows = None
+        for i in range(5):
+            sl = xf[..., i : i + (h_out - 1) * s + 1 : s, :, :]
+            rows = sl if rows is None else rows + sl
+        acc = None
+        for j in range(5):
+            sl = rows[..., :, j : j + (w_out - 1) * s + 1 : s, :]
+            acc = sl if acc is None else acc + sl
+        return (acc * (1.0 / 25.0)).astype(out_dtype)
 
 
 BLOCK_REGISTRY = {

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from paradis_tpu.ops.interp import CUBIC_A
+from paradis_tpu.ops.interp import _tap_scalars
 
 # channels per kernel instance (batch dim of the in-kernel dot_generals;
 # second-to-last block dim of the [B, V, P] operands → multiple of 8)
@@ -42,36 +42,46 @@ _VB = 8
 _VMEM_BUDGET = 10 * 2**20  # working-set target per kernel instance (bytes)
 
 
-def _weights_T(pos, size, mode):
+def _weights_T(pos, size, mode, derivative=False):
     """Dense kernel columns K(pos − i), positions-last: [vb, size, P] fp32.
 
     ``pos`` is [vb, P]; the support index i runs over the sublane axis so the
-    long position axis sits in the 128-lane dimension.
+    long position axis sits in the 128-lane dimension.  Same select-LUT
+    expansion as ``interp._dense_weights_via_taps``: the 4 (2 bilinear) tap
+    scalars are O(P) polynomial evaluations, routed to their rows through a
+    select tree on ``rel = i − i0`` — far fewer VPU ops per [size, P] element
+    than evaluating the piecewise cubic densely, and with ``derivative=True``
+    all comparisons are shared between K and K′ (one pass for the backward).
     """
     vb, P = pos.shape
+    if derivative:
+        i0, _, ws, dws = _tap_scalars(pos, mode, True)
+    else:
+        i0, _, ws = _tap_scalars(pos, mode, False)
     idx = jax.lax.broadcasted_iota(jnp.int32, (vb, size, P), 1).astype(jnp.float32)
-    d = jnp.abs(pos[:, None, :] - idx)
-    if mode == "bilinear":
-        return jnp.maximum(0.0, 1.0 - d)
-    a = CUBIC_A
-    near = ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0
-    far = ((a * d - 5.0 * a) * d + 8.0 * a) * d - 4.0 * a
-    return jnp.where(d <= 1.0, near, jnp.where(d < 2.0, far, 0.0))
+    rel = idx - i0[:, None, :]
 
-
-def _dweights_T(pos, size, mode):
-    """∂K(pos − i)/∂pos, positions-last: [vb, size, P] fp32."""
-    vb, P = pos.shape
-    idx = jax.lax.broadcasted_iota(jnp.int32, (vb, size, P), 1).astype(jnp.float32)
-    t = pos[:, None, :] - idx
-    d = jnp.abs(t)
-    s = jnp.sign(t)
     if mode == "bilinear":
-        return jnp.where(d < 1.0, -s, 0.0)
-    a = CUBIC_A
-    near = (3.0 * (a + 2.0) * d - 2.0 * (a + 3.0)) * d
-    far = (3.0 * a * d - 10.0 * a) * d + 8.0 * a
-    return s * jnp.where(d <= 1.0, near, jnp.where(d < 2.0, far, 0.0))
+        is0 = rel == 0.0
+        inb = is0 | (rel == 1.0)
+
+        def expand(vals):
+            v = jnp.where(is0, vals[0][:, None, :], vals[1][:, None, :])
+            return jnp.where(inb, v, 0.0)
+    else:
+        ism1 = rel == -1.0
+        lo_half = rel <= 0.0
+        is1 = rel == 1.0
+        inb = (rel >= -1.0) & (rel <= 2.0)
+
+        def expand(vals):
+            lo = jnp.where(ism1, vals[0][:, None, :], vals[1][:, None, :])
+            hi = jnp.where(is1, vals[2][:, None, :], vals[3][:, None, :])
+            return jnp.where(inb, jnp.where(lo_half, lo, hi), 0.0)
+
+    if not derivative:
+        return expand(ws)
+    return expand(ws), expand(dws)
 
 
 def _compute_dtype(field_dtype):
@@ -101,8 +111,8 @@ def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
     px = px_ref[0]
     f = field_ref[0].astype(cdt)                                 # [vb, R, C]
     g = g_ref[0]                                                 # [vb, P]
-    wxT = _weights_T(px, C, mode)                                # [vb, C, P]
-    wyT = _weights_T(py, R, mode)                                # [vb, R, P]
+    wxT, dwxT = _weights_T(px, C, mode, derivative=True)         # [vb, C, P]
+    wyT, dwyT = _weights_T(py, R, mode, derivative=True)         # [vb, R, P]
     wxc = wxT.astype(cdt)
 
     # d_field[v,r,c] = Σ_p wyT[v,r,p] g[v,p] wxT[v,c,p], accumulated across
@@ -124,12 +134,12 @@ def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
     # d_py[v,p] = g Σ_r K'y[v,r,p] · t[v,r,p],  t = x-interp of f
     t = jax.lax.dot_general(f, wxc, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)  # [vb, R, P]
-    dpy_ref[0] = g * jnp.sum(_dweights_T(py, R, mode) * t, axis=1)
+    dpy_ref[0] = g * jnp.sum(dwyT * t, axis=1)
 
     # d_px[v,p] = g Σ_c K'x[v,c,p] · u[v,c,p],  u = y-interp of f
     u = jax.lax.dot_general(f, wyT.astype(cdt), (((1,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)  # [vb, C, P]
-    dpx_ref[0] = g * jnp.sum(_dweights_T(px, C, mode) * u, axis=1)
+    dpx_ref[0] = g * jnp.sum(dwxT * u, axis=1)
 
 
 def _pick_vb(V: int) -> int:

