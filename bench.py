@@ -48,7 +48,7 @@ def main() -> None:
     from paradis_tpu.sphere.geometry import latitude_weights, equiangular_lat_lon
     from paradis_tpu.train.loss import pressure_weights
 
-    cfg, model, d = _flagship(tiny=False)
+    cfg, model, d = _flagship(tiny=False, training=True)
     cfg.training.optimizer.name = "normuon"
 
     H, W = d["nlat"], d["nlon"]

@@ -203,11 +203,19 @@ class Paradis(nn.Module):
 
     @classmethod
     def from_config(cls, cfg, *, input_dim: int, output_dim: int,
-                    lat_deg, lon_deg, dtype=None) -> "Paradis":
-        """Build from a paradis_tpu Config (schema of paradis_settings.yaml)."""
+                    lat_deg, lon_deg, dtype=None, training: bool = False) -> "Paradis":
+        """Build from a paradis_tpu Config (schema of paradis_settings.yaml).
+
+        ``training=True`` resolves the ``auto`` advection backend for the
+        fwd+bwd path (the fused Pallas kernel wins under grad on TPU; the XLA
+        dense contraction wins forward-only — see ops/advection.interpolate).
+        """
         pb = cfg.model.physblock
         if dtype is None:
             dtype = jnp.bfloat16 if cfg.compute.use_amp else jnp.float32
+        adv_impl = cfg.compute.get("advection_impl", "auto")
+        if training and adv_impl == "auto":
+            adv_impl = "auto_train"
         return cls(
             input_dim=input_dim,
             output_dim=output_dim,
@@ -222,7 +230,7 @@ class Paradis(nn.Module):
             bias_rank=cfg.model.get("bias_rank", 128),
             activation=cfg.model.activation,
             interpolation=cfg.model.adv_interpolation,
-            advection_impl=cfg.compute.get("advection_impl", "auto"),
+            advection_impl=adv_impl,
             coarsening_factor=cfg.model.get("coarsening_factor", 1),
             gradient_checkpointing=cfg.compute.get("gradient_checkpointing", False),
             scan_unroll=int(cfg.model.get("scan_unroll", 0) or 0),

@@ -67,28 +67,28 @@ def departure_pixel_coords(u, v, dt, lat_grid, lon_grid):
 def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto"):
     """Backend dispatch for the gather-interpolation.
 
-    ``auto`` picks by problem size and backend:
-      * the XLA dense contraction materializes O(P·V·(R+C)) kernel weights in
-        HBM — at 5.625° it wins the full model fwd+bwd (35.8 vs 41.0 ms,
-        scripts/bench_model.py with the unrolled layer loop): standalone the
-        fused Pallas kernel is faster per op (1.40 vs 1.82 ms/layer fwd+bwd,
-        scripts/bench_interp.py), but embedded in the model graph the custom
-        call picks up ~0.6 ms/layer of scheduling/fusion-barrier overhead
-        that the pure-HLO path doesn't pay;
+    ``auto`` (inference) and ``auto_train`` (training) pick by problem size
+    and backend:
+      * forward-only at 5.625° the XLA dense contraction wins the full model
+        (7.8 vs 8.2 ms, scripts/bench_model.py --what fwd) — ``auto`` keeps
+        it for inference rollouts;
+      * fwd+bwd the fused Pallas kernel wins in-model (26.2 vs 27.2 ms,
+        --what bwd, since the select-LUT weight generation): ``auto_train``
+        dispatches to it on TPU at every size;
       * the Pallas kernel generates weights in VMEM with O(1) extra HBM, so
         high-resolution grids (where the XLA path would need ≈6.6 GB/layer
-        at 1.40625°) dispatch to it on TPU.
+        at 1.40625°) dispatch to it on TPU under either mode.
     ``pallas`` / ``xla`` / ``gather`` force a backend.
     """
     import jax
 
-    if impl == "auto":
+    if impl in ("auto", "auto_train"):
         B, R, C, V = field.shape
         P = pix_y.shape[1] * pix_y.shape[2]
         weight_elems = B * P * V * (R + C)
         big = weight_elems > 2**28  # ≈0.5 GB bf16 per layer
         if jax.default_backend() == "tpu":
-            impl = "pallas" if big else "xla"
+            impl = "pallas" if (big or impl == "auto_train") else "xla"
         else:
             # the dense contraction is an MXU design (trades O(P·V·(R+C))
             # materialized weights for batched GEMMs); on CPU/GPU backends the

@@ -101,6 +101,7 @@ class Trainer:
             output_dim=ds.num_out_features,
             lat_deg=ds.lat,
             lon_deg=ds.lon,
+            training=True,
         )
         self.loss_fn = WeightedLoss.from_config(cfg, ds.lat, ds.dyn_output_features,
                                                 nlon=ds.lon_size)

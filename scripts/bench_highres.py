@@ -44,7 +44,8 @@ def main():
     lon = np.arange(W) * (360.0 / W)
     model = Paradis.from_config(cfg, input_dim=d["input_dim"],
                                 output_dim=d["output_dim"],
-                                lat_deg=lat, lon_deg=lon, dtype=jnp.bfloat16)
+                                lat_deg=lat, lon_deg=lon, dtype=jnp.bfloat16,
+                                training=True)
 
     rng = np.random.default_rng(0)
     batch = {
