@@ -206,16 +206,15 @@ class Paradis(nn.Module):
                     lat_deg, lon_deg, dtype=None, training: bool = False) -> "Paradis":
         """Build from a paradis_tpu Config (schema of paradis_settings.yaml).
 
-        ``training=True`` resolves the ``auto`` advection backend for the
-        fwd+bwd path (the fused Pallas kernel wins under grad on TPU; the XLA
-        dense contraction wins forward-only — see ops/advection.interpolate).
+        ``training`` is accepted for call-site documentation but no longer
+        changes the advection dispatch: the fused Pallas kernel wins both the
+        forward-only and fwd+bwd model on TPU (ops/advection.interpolate).
         """
+        del training
         pb = cfg.model.physblock
         if dtype is None:
             dtype = jnp.bfloat16 if cfg.compute.use_amp else jnp.float32
         adv_impl = cfg.compute.get("advection_impl", "auto")
-        if training and adv_impl == "auto":
-            adv_impl = "auto_train"
         return cls(
             input_dim=input_dim,
             output_dim=output_dim,

@@ -67,17 +67,13 @@ def departure_pixel_coords(u, v, dt, lat_grid, lon_grid):
 def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto"):
     """Backend dispatch for the gather-interpolation.
 
-    ``auto`` (inference) and ``auto_train`` (training) pick by problem size
-    and backend:
-      * forward-only at 5.625° the XLA dense contraction wins the full model
-        (7.8 vs 8.2 ms, scripts/bench_model.py --what fwd) — ``auto`` keeps
-        it for inference rollouts;
-      * fwd+bwd the fused Pallas kernel wins in-model (26.2 vs 27.2 ms,
-        --what bwd, since the select-LUT weight generation): ``auto_train``
-        dispatches to it on TPU at every size;
-      * the Pallas kernel generates weights in VMEM with O(1) extra HBM, so
-        high-resolution grids (where the XLA path would need ≈6.6 GB/layer
-        at 1.40625°) dispatch to it on TPU under either mode.
+    ``auto`` picks by backend and problem size:
+      * on TPU the fused Pallas kernel wins the full model both forward-only
+        (7.4 vs 7.8 ms) and fwd+bwd (25.9 vs 27.2 ms, scripts/bench_model.py)
+        since the select-LUT weight generation + 12 MB VMEM blocks — and it
+        is the only viable path at high resolution (the XLA dense
+        contraction would materialize ≈6.6 GB of weights/layer at 1.40625°);
+      * on CPU/GPU the gather path wins at size, the dense path at toy sizes.
     ``pallas`` / ``xla`` / ``gather`` force a backend.
     """
     import jax
@@ -86,9 +82,8 @@ def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto"):
         B, R, C, V = field.shape
         P = pix_y.shape[1] * pix_y.shape[2]
         weight_elems = B * P * V * (R + C)
-        big = weight_elems > 2**28  # ≈0.5 GB bf16 per layer
         if jax.default_backend() == "tpu":
-            impl = "pallas" if (big or impl == "auto_train") else "xla"
+            impl = "pallas"
         else:
             # the dense contraction is an MXU design (trades O(P·V·(R+C))
             # materialized weights for batched GEMMs); on CPU/GPU backends the

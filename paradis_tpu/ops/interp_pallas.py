@@ -39,7 +39,11 @@ from paradis_tpu.ops.interp import _tap_scalars
 # channels per kernel instance (batch dim of the in-kernel dot_generals;
 # second-to-last block dim of the [B, V, P] operands → multiple of 8)
 _VB = 8
-_VMEM_BUDGET = 10 * 2**20  # working-set target per kernel instance (bytes)
+_VMEM_BUDGET = 12 * 2**20  # working-set target per kernel instance (bytes;
+# the Mosaic scoped-vmem limit is 16 MB — 12 MB of estimated working set
+# keeps slack for scheduling copies while halving the instance count at
+# flagship shapes vs 10 MB (bwd pb 512→1024: ~14% faster, per-instance
+# weight-generation overhead amortizes)
 
 
 def _weights_T(pos, size, mode, derivative=False):
@@ -154,12 +158,17 @@ def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool) -> int:
 
     Per position (fp32 words): forward holds wxT[C·1.5] (fp32 gen + cdt
     cast), t[R], wyT[R]; backward additionally holds the derivative rows and
-    u[C] (liveness lets the two contraction phases share space).
+    u[C] (liveness lets the two contraction phases share space).  On top of
+    that each instance holds position-independent field blocks: f (bf16) and,
+    backward, the fp32 d_field accumulator + bf16 partial — negligible at
+    5.625° but ~3 MB at 1.40625°, where omitting them overflowed the 16 MB
+    Mosaic scoped-vmem limit at pb=256.
     """
     per_pos = vb * 4 * (int(1.5 * C) + 2 * R if not bwd
                         else int(3.5 * C) + 3 * R)
+    fixed = vb * R * C * (10 if bwd else 2)
     pb = min(P, 2048)
-    while pb > 128 and (pb * per_pos > _VMEM_BUDGET or P % pb != 0):
+    while pb > 128 and (fixed + pb * per_pos > _VMEM_BUDGET or P % pb != 0):
         pb //= 2
     return pb if P % pb == 0 else P
 
