@@ -111,19 +111,30 @@ def _fwd_kernel(field_ref, py_ref, px_ref, out_ref, *, mode, cdt):
 def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
                 dfield_ref, dpy_ref, dpx_ref, *, mode, cdt):
     R, C = field_ref.shape[-2], field_ref.shape[-1]
+    P = py_ref.shape[-1]
     py = py_ref[0]                                               # [vb, P]
     px = px_ref[0]
     f = field_ref[0].astype(cdt)                                 # [vb, R, C]
     g = g_ref[0]                                                 # [vb, P]
     wxT, dwxT = _weights_T(px, C, mode, derivative=True)         # [vb, C, P]
     wyT, dwyT = _weights_T(py, R, mode, derivative=True)         # [vb, R, P]
-    wxc = wxT.astype(cdt)
+
+    # one x-contraction for both position cotangents: stack [wx | dwx] along
+    # the lane axis so a single [R,C]@[C,2P] dot yields t = f·wx (for d_py)
+    # and tdx = f·dwx (for d_px, replacing the separate u = f·wy dot since
+    # d_px = g Σ_r wy·tdx ≡ g Σ_c dwx·u) — 2/3 the MXU FLOPs of three small
+    # dots and twice the N per issue.
+    wx2 = jnp.concatenate([wxT, dwxT], axis=-1).astype(cdt)      # [vb, C, 2P]
+    tt = jax.lax.dot_general(f, wx2, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # [vb, R, 2P]
+    dpy_ref[0] = g * jnp.sum(dwyT * tt[..., :P], axis=1)
+    dpx_ref[0] = g * jnp.sum(wyT * tt[..., P:], axis=1)
 
     # d_field[v,r,c] = Σ_p wyT[v,r,p] g[v,p] wxT[v,c,p], accumulated across
     # position blocks (the grid revisits this output block with p innermost)
     wyg = (wyT * g[:, None, :]).astype(cdt)                      # [vb, R, P]
     partial = jax.lax.dot_general(
-        wyg, wxc, (((2,), (2,)), ((0,), (0,))),
+        wyg, wx2[..., :P], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dfield_ref.dtype)                                   # [vb, R, C]
 
@@ -134,16 +145,6 @@ def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
     @pl.when(pl.program_id(2) != 0)
     def _():
         dfield_ref[0] = dfield_ref[0] + partial
-
-    # d_py[v,p] = g Σ_r K'y[v,r,p] · t[v,r,p],  t = x-interp of f
-    t = jax.lax.dot_general(f, wxc, (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)  # [vb, R, P]
-    dpy_ref[0] = g * jnp.sum(dwyT * t, axis=1)
-
-    # d_px[v,p] = g Σ_c K'x[v,c,p] · u[v,c,p],  u = y-interp of f
-    u = jax.lax.dot_general(f, wyT.astype(cdt), (((1,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)  # [vb, C, P]
-    dpx_ref[0] = g * jnp.sum(dwxT * u, axis=1)
 
 
 def _pick_vb(V: int) -> int:
