@@ -29,6 +29,7 @@ per (channel-group × position-block):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,8 +46,21 @@ _VMEM_BUDGET = 12 * 2**20  # working-set target per kernel instance (bytes;
 # flagship shapes vs 10 MB (bwd pb 512→1024: ~14% faster, per-instance
 # weight-generation overhead amortizes)
 
+# Row chunking: the dense y-contraction costs O(R) per position but each
+# position's kernel touches only 4 rows (2 bilinear), clustered around the
+# position block's latitude band.  For large grids the kernels therefore
+# process the padded rows in static _CHUNK_ROWS-row chunks, each guarded by
+# ``pl.when(chunk ∩ [min tap row, max tap row] ≠ ∅)`` on block-level scalars:
+# exact for arbitrary displacements (worst case ≡ the unchunked kernel), and
+# at 1.40625° (R=132, position blocks spanning 2–4 latitude rows) typically
+# 1–2 of 5 chunks run — the dominant f·wx GEMM shrinks by the same factor.
+# Disabled below _CHUNK_MIN_ROWS (flagship 5.625° has R=36 and full-grid
+# position blocks, where every chunk would fire).
+_CHUNK_ROWS = 32
+_CHUNK_MIN_ROWS = 96
 
-def _weights_T(pos, size, mode, derivative=False):
+
+def _weights_T(pos, size, mode, derivative=False, row0=0):
     """Dense kernel columns K(pos − i), positions-last: [vb, size, P] fp32.
 
     ``pos`` is [vb, P]; the support index i runs over the sublane axis so the
@@ -56,6 +70,10 @@ def _weights_T(pos, size, mode, derivative=False):
     select tree on ``rel = i − i0`` — far fewer VPU ops per [size, P] element
     than evaluating the piecewise cubic densely, and with ``derivative=True``
     all comparisons are shared between K and K′ (one pass for the backward).
+
+    ``row0`` (static) offsets the support rows: the result covers rows
+    ``[row0, row0 + size)`` of the full grid — the row-chunked kernels
+    generate only the active chunk's weights.
     """
     vb, P = pos.shape
     if derivative:
@@ -63,7 +81,7 @@ def _weights_T(pos, size, mode, derivative=False):
     else:
         i0, _, ws = _tap_scalars(pos, mode, False)
     idx = jax.lax.broadcasted_iota(jnp.int32, (vb, size, P), 1).astype(jnp.float32)
-    rel = idx - i0[:, None, :]
+    rel = (idx + float(row0)) - i0[:, None, :]
 
     if mode == "bilinear":
         is0 = rel == 0.0
@@ -147,6 +165,89 @@ def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
         dfield_ref[0] = dfield_ref[0] + partial
 
 
+def _tap_row_range(pos, mode):
+    """Block-level scalars (lo, hi): the inclusive row range of nonzero taps."""
+    t_lo, t_hi = (-1.0, 2.0) if mode == "bicubic" else (0.0, 1.0)
+    lo = jnp.floor(jnp.min(pos)) + t_lo
+    hi = jnp.floor(jnp.max(pos)) + t_hi
+    return lo, hi
+
+
+def _fwd_kernel_chunked(field_ref, py_ref, px_ref, out_ref, *, mode, cdt, rw):
+    Rp, C = field_ref.shape[-2], field_ref.shape[-1]
+    py = py_ref[0]                                               # [vb, P]
+    px = px_ref[0]
+    wxT = _weights_T(px, C, mode).astype(cdt)                    # [vb, C, P]
+    lo, hi = _tap_row_range(py, mode)
+    out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+    for k in range(Rp // rw):
+        r0 = k * rw
+
+        @pl.when((lo <= float(r0 + rw - 1)) & (hi >= float(r0)))
+        def _(r0=r0):
+            f = field_ref[0, :, r0:r0 + rw, :].astype(cdt)       # [vb, rw, C]
+            t = jax.lax.dot_general(
+                f, wxT, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                                    # [vb, rw, P]
+            wyT = _weights_T(py, rw, mode, row0=r0)              # [vb, rw, P]
+            out_ref[0] = out_ref[0] + jnp.sum(wyT * t, axis=1)
+
+
+def _bwd_kernel_chunked(field_ref, py_ref, px_ref, g_ref,
+                        dfield_ref, dpy_ref, dpx_ref, *, mode, cdt, rw):
+    Rp, C = field_ref.shape[-2], field_ref.shape[-1]
+    P = py_ref.shape[-1]
+    py = py_ref[0]                                               # [vb, P]
+    px = px_ref[0]
+    g = g_ref[0]                                                 # [vb, P]
+    wxT, dwxT = _weights_T(px, C, mode, derivative=True)         # [vb, C, P]
+    wx2 = jnp.concatenate([wxT, dwxT], axis=-1).astype(cdt)      # [vb, C, 2P]
+    lo, hi = _tap_row_range(py, mode)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dfield_ref[0] = jnp.zeros(dfield_ref.shape[1:], dfield_ref.dtype)
+
+    dpy_ref[0] = jnp.zeros(dpy_ref.shape[1:], dpy_ref.dtype)
+    dpx_ref[0] = jnp.zeros(dpx_ref.shape[1:], dpx_ref.dtype)
+    for k in range(Rp // rw):
+        r0 = k * rw
+
+        @pl.when((lo <= float(r0 + rw - 1)) & (hi >= float(r0)))
+        def _(r0=r0):
+            f = field_ref[0, :, r0:r0 + rw, :].astype(cdt)       # [vb, rw, C]
+            wyT, dwyT = _weights_T(py, rw, mode, derivative=True, row0=r0)
+            tt = jax.lax.dot_general(
+                f, wx2, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                                    # [vb, rw, 2P]
+            dpy_ref[0] = dpy_ref[0] + g * jnp.sum(dwyT * tt[..., :P], axis=1)
+            dpx_ref[0] = dpx_ref[0] + g * jnp.sum(wyT * tt[..., P:], axis=1)
+            wyg = (wyT * g[:, None, :]).astype(cdt)              # [vb, rw, P]
+            partial = jax.lax.dot_general(
+                wyg, wx2[..., :P], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dfield_ref.dtype)                           # [vb, rw, C]
+            dfield_ref[0, :, r0:r0 + rw, :] = (
+                dfield_ref[0, :, r0:r0 + rw, :] + partial)
+
+
+def _chunk_rows(R: int, override) -> int:
+    """Row-chunk size for this grid (0 = unchunked).
+
+    Priority: explicit ``chunk_rows`` argument, then the
+    ``PARADIS_INTERP_CHUNK`` env var (benchmark A/B switch), then the
+    R-threshold heuristic.
+    """
+    if override is not None:
+        return int(override)
+    env = os.environ.get("PARADIS_INTERP_CHUNK")
+    if env is not None:
+        return int(env)
+    return _CHUNK_ROWS if R >= _CHUNK_MIN_ROWS else 0
+
+
 def _pick_vb(V: int) -> int:
     for vb in (_VB, 4, 2, 1):
         if V % vb == 0:
@@ -154,7 +255,7 @@ def _pick_vb(V: int) -> int:
     return 1
 
 
-def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool) -> int:
+def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool, rw: int = 0) -> int:
     """Largest 128-multiple position block whose working set fits VMEM.
 
     Per position (fp32 words): forward holds wxT[C·1.5] (fp32 gen + cdt
@@ -164,9 +265,14 @@ def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool) -> int:
     backward, the fp32 d_field accumulator + bf16 partial — negligible at
     5.625° but ~3 MB at 1.40625°, where omitting them overflowed the 16 MB
     Mosaic scoped-vmem limit at pb=256.
+
+    Row-chunked kernels (``rw > 0``) only ever hold one rw-row chunk of the
+    row-indexed temporaries (t/wy live inside the chunk's ``pl.when`` scope),
+    so R enters per-position costs as rw — larger position blocks fit.
     """
-    per_pos = vb * 4 * (int(1.5 * C) + 2 * R if not bwd
-                        else int(3.5 * C) + 3 * R)
+    r_eff = rw if rw else R
+    per_pos = vb * 4 * (int(1.5 * C) + 2 * r_eff if not bwd
+                        else int(3.5 * C) + 3 * r_eff)
     fixed = vb * R * C * (10 if bwd else 2)
     pb = min(P, 2048)
     while pb > 128 and (fixed + pb * per_pos > _VMEM_BUDGET or P % pb != 0):
@@ -174,15 +280,29 @@ def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool) -> int:
     return pb if P % pb == 0 else P
 
 
-def _fwd_tv(field_t, py_t, px_t, mode, interpret):
+def _pad_rows(field_t, R, rw):
+    """Zero-pad the row axis to a chunk multiple (padded rows get zero taps)."""
+    Rp = -(-R // rw) * rw
+    if Rp != R:
+        field_t = jnp.pad(field_t, ((0, 0), (0, 0), (0, Rp - R), (0, 0)))
+    return field_t, Rp
+
+
+def _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows):
     """field [B,V,R,C], py/px [B,V,P] → out [B,V,P] fp32 (channel-major)."""
     B, V, R, C = field_t.shape
     P = py_t.shape[-1]
     vb = _pick_vb(V)
-    pb = _pick_pb(P, vb, R, C, bwd=False)
+    rw = _chunk_rows(R, chunk_rows)
+    if rw:
+        field_t, R = _pad_rows(field_t, R, rw)
+        kernel = functools.partial(_fwd_kernel_chunked, rw=rw)
+    else:
+        kernel = _fwd_kernel
+    pb = _pick_pb(P, vb, R, C, bwd=False, rw=rw)
     grid = (B, V // vb, P // pb)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, mode=mode,
+        functools.partial(kernel, mode=mode,
                           cdt=_compute_dtype(field_t.dtype)),
         out_shape=jax.ShapeDtypeStruct((B, V, P), jnp.float32),
         grid=grid,
@@ -196,16 +316,23 @@ def _fwd_tv(field_t, py_t, px_t, mode, interpret):
     )(field_t, py_t, px_t)
 
 
-def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret):
+def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret, chunk_rows):
     B, V, R, C = field_t.shape
     P = py_t.shape[-1]
     vb = _pick_vb(V)
-    pb = _pick_pb(P, vb, R, C, bwd=True)
+    rw = _chunk_rows(R, chunk_rows)
+    R_out = R
+    if rw:
+        field_t, R = _pad_rows(field_t, R, rw)
+        kernel = functools.partial(_bwd_kernel_chunked, rw=rw)
+    else:
+        kernel = _bwd_kernel
+    pb = _pick_pb(P, vb, R, C, bwd=True, rw=rw)
     # p is the innermost grid dim: the d_field output block is revisited
     # across p steps and accumulated in place
     grid = (B, V // vb, P // pb)
     dfield, dpy, dpx = pl.pallas_call(
-        functools.partial(_bwd_kernel, mode=mode,
+        functools.partial(kernel, mode=mode,
                           cdt=_compute_dtype(field_t.dtype)),
         out_shape=(
             jax.ShapeDtypeStruct((B, V, R, C), jnp.float32),
@@ -226,23 +353,26 @@ def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret):
         ),
         interpret=interpret,
     )(field_t, py_t, px_t, g_t)
+    if R != R_out:
+        dfield = dfield[:, :, :R_out, :]
     return dfield, dpy, dpx
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _interp_tv(field_t, py_t, px_t, mode, interpret):
-    return _fwd_tv(field_t, py_t, px_t, mode, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _interp_tv(field_t, py_t, px_t, mode, interpret, chunk_rows):
+    return _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows)
 
 
-def _interp_tv_fwd(field_t, py_t, px_t, mode, interpret):
-    out = _fwd_tv(field_t, py_t, px_t, mode, interpret)
+def _interp_tv_fwd(field_t, py_t, px_t, mode, interpret, chunk_rows):
+    out = _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows)
     return out, (field_t, py_t, px_t)
 
 
-def _interp_tv_bwd(mode, interpret, res, g):
+def _interp_tv_bwd(mode, interpret, chunk_rows, res, g):
     field_t, py_t, px_t = res
     dfield, dpy, dpx = _bwd_tv(field_t, py_t, px_t,
-                               g.astype(jnp.float32), mode, interpret)
+                               g.astype(jnp.float32), mode, interpret,
+                               chunk_rows)
     return dfield.astype(field_t.dtype), dpy, dpx
 
 
@@ -251,10 +381,13 @@ _interp_tv.defvjp(_interp_tv_fwd, _interp_tv_bwd)
 
 def grid_sample_interp_pallas(field: jnp.ndarray, pix_y: jnp.ndarray,
                               pix_x: jnp.ndarray, mode: str = "bicubic",
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              chunk_rows: int | None = None) -> jnp.ndarray:
     """Drop-in replacement for ``grid_sample_interp`` (channels-last API).
 
     field ``[B, R, C, V]``, positions ``[B, H, W, V]`` → ``[B, H, W, V]``.
+    ``chunk_rows`` overrides the row-chunking heuristic (0 disables,
+    None = auto: chunk when R ≥ _CHUNK_MIN_ROWS).
     """
     if mode not in ("bilinear", "bicubic"):
         raise ValueError(f"mode must be bilinear|bicubic, got {mode!r}")
@@ -263,6 +396,6 @@ def grid_sample_interp_pallas(field: jnp.ndarray, pix_y: jnp.ndarray,
     field_t = jnp.moveaxis(field, -1, 1)                       # [B, V, R, C]
     py_t = jnp.moveaxis(pix_y.astype(jnp.float32).reshape(B, H * W, V), -1, 1)
     px_t = jnp.moveaxis(pix_x.astype(jnp.float32).reshape(B, H * W, V), -1, 1)
-    out_t = _interp_tv(field_t, py_t, px_t, mode, interpret)   # [B, V, P]
+    out_t = _interp_tv(field_t, py_t, px_t, mode, interpret, chunk_rows)
     out = jnp.moveaxis(out_t, 1, -1).reshape(B, H, W, V)
     return out.astype(field.dtype)

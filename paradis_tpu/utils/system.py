@@ -26,6 +26,15 @@ def setup_system(cfg) -> None:
     # precision: bf16 matmuls under AMP, full fp32 otherwise
     import jax
 
+    # platform pinning (reference delegates accelerator selection to
+    # Lightning's `accelerator="auto"`; here `compute.platform` maps onto
+    # jax_platforms): "auto" keeps the environment default, "cpu"/"tpu"
+    # force a backend — e.g. CPU-only runs on a host whose accelerator
+    # is unavailable.  Must happen before any backend initialization.
+    platform = str(cfg.compute.get("platform", "auto") or "auto").lower()
+    if platform != "auto":
+        jax.config.update("jax_platforms", platform)
+
     if not cfg.compute.use_amp:
         jax.config.update("jax_default_matmul_precision", "highest")
 

@@ -85,3 +85,71 @@ def test_position_block_accumulation(monkeypatch):
     g_blocked = jax.grad(loss, argnums=(0, 1, 2))(field, py, px)
     for a, b in zip(g_full, g_blocked):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("rw", [8, 16])
+def test_chunked_rows_parity(mode, rw):
+    """Row-chunked kernels (the large-grid path): forward + all three
+    cotangents must match the dense oracle, including the zero-padded row
+    remainder (R=24 pads to 32 at rw=16) and multi-chunk spans."""
+    field, py, px = _setup(B=2, Hp=24, Wp=20, V=4, H=20, W=16, seed=7)
+    py = jnp.floor(py) + 0.37   # away from the kernel's derivative kinks
+    px = jnp.floor(px) + 0.61
+
+    ours = np.asarray(grid_sample_interp_pallas(field, py, px, mode,
+                                                interpret=True, chunk_rows=rw))
+    ref = np.asarray(grid_sample_interp(field, py, px, mode, method="gather"))
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+    def loss_pallas(f, y, x):
+        return jnp.sum(grid_sample_interp_pallas(f, y, x, mode,
+                                                 interpret=True,
+                                                 chunk_rows=rw) ** 2)
+
+    def loss_dense(f, y, x):
+        return jnp.sum(grid_sample_interp(f, y, x, mode, method="dense") ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(field, py, px)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(field, py, px)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-3)
+
+
+def test_chunked_skipping_narrow_band(monkeypatch):
+    """Positions clustered near their source row: most chunks are skipped by
+    the pl.when guard, across multiple position blocks."""
+    import paradis_tpu.ops.interp_pallas as mod
+
+    rng = np.random.default_rng(8)
+    B, H, W, V, PAD = 1, 32, 16, 2, 2
+    Hp, Wp = H + 2 * PAD, W + 2 * PAD
+    field = jnp.asarray(rng.normal(size=(B, Hp, Wp, V)), jnp.float32)
+    base_y = np.broadcast_to(np.arange(H)[None, :, None, None],
+                             (B, H, W, V)).astype(np.float32)
+    py = jnp.asarray(np.clip(base_y + rng.uniform(-1.4, 1.4, size=(B, H, W, V))
+                             + PAD, 2.0, Hp - 3.0), jnp.float32)
+    px = jnp.asarray(rng.uniform(2.0, Wp - 3.0, size=(B, H, W, V)), jnp.float32)
+
+    monkeypatch.setattr(mod, "_VMEM_BUDGET", 64 * 1024)  # pb=128 < P=512
+
+    def loss_pallas(f, y, x):
+        return jnp.sum(grid_sample_interp_pallas(f, y, x, "bicubic",
+                                                 interpret=True,
+                                                 chunk_rows=8) ** 2)
+
+    def loss_dense(f, y, x):
+        return jnp.sum(grid_sample_interp(f, y, x, "bicubic",
+                                          method="dense") ** 2)
+
+    out = np.asarray(grid_sample_interp_pallas(field, py, px, "bicubic",
+                                               interpret=True, chunk_rows=8))
+    ref = np.asarray(grid_sample_interp(field, py, px, "bicubic",
+                                        method="gather"))
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(field, py, px)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(field, py, px)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-3)
