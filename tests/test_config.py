@@ -53,3 +53,30 @@ def test_attribute_set_wraps_nested():
     assert cfg.a.b.c == 5
     cfg.a.b = {"d": 1}
     assert isinstance(cfg.a.b, Config)
+
+
+def test_compute_platform_pin_subprocess(tmp_path):
+    """compute.platform pins jax_platforms before backend init (both CLIs
+    route through the same pin; exercised here via setup_system)."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from paradis_tpu.config import default_config
+from paradis_tpu.utils.system import setup_system
+cfg = default_config()
+cfg.compute.platform = "cpu"
+cfg.training.max_steps = 1
+cfg = cfg.resolved()
+setup_system(cfg)
+import jax
+assert jax.config.jax_platforms == "cpu", jax.config.jax_platforms
+assert jax.default_backend() == "cpu"
+print("PIN_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PIN_OK" in out.stdout
