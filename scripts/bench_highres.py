@@ -35,8 +35,12 @@ def main():
     cfg, _, d = _flagship(tiny=False)
     cfg.training.optimizer.name = "normuon"
     # remat the physics layers: at 128x256 the un-rematerialized activations
-    # of 8 layers x 1024 channels would pressure HBM
-    cfg.compute.gradient_checkpointing = True
+    # of 8 layers x 1024 channels would pressure HBM (PARADIS_HIGHRES_REMAT=0
+    # disables for A/B once kernel-side VMEM/HBM savings land)
+    import os
+
+    cfg.compute.gradient_checkpointing = (
+        os.environ.get("PARADIS_HIGHRES_REMAT", "1") != "0")
 
     from paradis_tpu.model.paradis import Paradis
 
