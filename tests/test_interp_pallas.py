@@ -153,3 +153,18 @@ def test_chunked_skipping_narrow_band(monkeypatch):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
                                    rtol=1e-3)
+
+
+def test_chunk_heuristics(monkeypatch):
+    import paradis_tpu.ops.interp_pallas as mod
+
+    # flagship 5.625° (R=36): unchunked; 1.40625° (R=132): chunked
+    assert mod._chunk_rows(36, None) == 0
+    assert mod._chunk_rows(132, None) == mod._CHUNK_ROWS
+    assert mod._chunk_rows(132, 0) == 0            # explicit off
+    assert mod._chunk_rows(36, 8) == 8             # explicit on
+    monkeypatch.setenv("PARADIS_INTERP_CHUNK", "16")
+    assert mod._chunk_rows(36, None) == 16         # env A/B switch
+    # chunked per-position VMEM estimate admits larger position blocks
+    assert (mod._pick_pb(32768, 8, 160, 264, bwd=True, rw=32)
+            >= mod._pick_pb(32768, 8, 132, 264, bwd=True))
