@@ -270,6 +270,9 @@ def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool, rw: int = 0) -> int:
     row-indexed temporaries (t/wy live inside the chunk's ``pl.when`` scope),
     so R enters per-position costs as rw — larger position blocks fit.
     """
+    env = os.environ.get("PARADIS_INTERP_PB")  # experimentation override
+    if env and P % int(env) == 0:
+        return int(env)
     r_eff = rw if rw else R
     per_pos = vb * 4 * (int(1.5 * C) + 2 * r_eff if not bwd
                         else int(3.5 * C) + 3 * r_eff)
