@@ -111,29 +111,43 @@ def open_truth(truth_root: str):
 
 def evaluate_store(forecast_path: str, truth_root: str,
                    variables: list[tuple[str, int | None]],
-                   lead_hours: list[int]) -> dict:
-    """RMSE per (variable, lead) over all init times with available truth."""
+                   lead_hours: list[int], acc: bool = True) -> dict:
+    """RMSE (and ACC) per (variable, lead) over init times with truth.
+
+    RMSE is the latitude-weighted WB2 headline deterministic metric.  ACC is
+    the latitude-weighted anomaly correlation, with anomalies taken against a
+    per-variable climatology estimated as the truth's time mean over every
+    target time scored for that variable (WB2 proper uses a 1990–2019
+    day-of-year climatology; with only the evaluation archive available, the
+    scored-window mean is the standard in-sample substitute — documented in
+    the result key).
+    """
     fc = zarrlite.open_store(forecast_path)
     truth = open_truth(truth_root)
     init_times = np.asarray(fc["time"][...]).astype("datetime64[s]")
     tds = np.asarray(fc["prediction_timedelta"][...]).astype("timedelta64[h]")
     levels = [int(l) for l in np.asarray(fc["level"][...])]
     lat_w = latitude_weights(np.asarray(fc["latitude"][...])).astype(np.float64)
+    w2 = lat_w[:, None]
 
     results = {}
     for var, level in variables:
         arr = fc[var]
         lvl_idx = levels.index(level) if level is not None else None
         truth_name = _TRUTH_NAME[var] + (f"_h{level}" if level is not None else "")
+        pairs_by_lead: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+        truth_cache: dict[np.datetime64, np.ndarray | None] = {}
         for lead in lead_hours:
             td_candidates = np.nonzero(tds == np.timedelta64(lead, "h"))[0]
             if len(td_candidates) == 0:
                 continue
             td_i = int(td_candidates[0])
-            errors, count = 0.0, 0
+            pairs = pairs_by_lead.setdefault(lead, [])
             for t_i, t0 in enumerate(init_times):
                 target_time = t0 + np.timedelta64(lead, "h")
-                tr = truth.field(truth_name, target_time)
+                if target_time not in truth_cache:
+                    truth_cache[target_time] = truth.field(truth_name, target_time)
+                tr = truth_cache[target_time]
                 if tr is None:
                     continue
                 if lvl_idx is not None:
@@ -142,12 +156,30 @@ def evaluate_store(forecast_path: str, truth_root: str,
                     pred = np.asarray(arr[t_i, td_i])
                 if not np.isfinite(pred).all():
                     continue
-                se = (pred.astype(np.float64) - tr.astype(np.float64)) ** 2
-                errors += float((se * lat_w[:, None]).mean())
-                count += 1
-            if count:
-                key = f"{var}_h{level}" if level is not None else var
-                results[f"{key}@{lead}h"] = float(np.sqrt(errors / count))
+                pairs.append((pred.astype(np.float64), tr.astype(np.float64)))
+
+        # per-variable climatology: time mean of every truth field scored
+        truth_fields = [t for t in truth_cache.values() if t is not None]
+        clim = (np.mean([t.astype(np.float64) for t in truth_fields], axis=0)
+                if truth_fields else None)
+
+        key = f"{var}_h{level}" if level is not None else var
+        for lead, pairs in pairs_by_lead.items():
+            if not pairs:
+                continue
+            mse = np.mean([((p - t) ** 2 * w2).mean() for p, t in pairs])
+            results[f"{key}@{lead}h"] = float(np.sqrt(mse))
+            if acc and clim is not None:
+                accs = []
+                for p, t in pairs:
+                    pa, ta = p - clim, t - clim
+                    num = float((pa * ta * w2).mean())
+                    den = float(np.sqrt((pa * pa * w2).mean()
+                                        * (ta * ta * w2).mean()))
+                    if den > 0:
+                        accs.append(num / den)
+                if accs:
+                    results[f"{key}@{lead}h:acc"] = float(np.mean(accs))
     return results
 
 

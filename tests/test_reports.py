@@ -102,6 +102,10 @@ def test_score_against_raw_wb2_truth(store, tmp_path_factory):
     # perfect forecast: only float32/bitround noise vs the raw archive
     assert res["geopotential_h500@6h"] < 1.0
     assert res["2m_temperature@12h"] < 0.1
+    # anomaly correlation of a perfect forecast is 1 (anomalies vs the
+    # scored-window climatology)
+    assert res["geopotential_h500@6h:acc"] > 0.999
+    assert res["2m_temperature@12h:acc"] > 0.999
 
     # and the raw-truth scores match the preprocessed-truth scores
     res_pre = evaluate_store(str(out), str(store),
