@@ -59,6 +59,12 @@ _VMEM_BUDGET = 12 * 2**20  # working-set target per kernel instance (bytes;
 _CHUNK_ROWS = 32
 _CHUNK_MIN_ROWS = 96
 
+# PARADIS_INTERP_GEN16=1 generates the expanded weight tensors directly in
+# bfloat16 (the tap scalars stay fp32): halves the select-tree's VMEM
+# footprint and write traffic at a ~1e-3 relative weight quantization (the
+# dots already consume bf16 under AMP).  Experimental A/B switch.
+_GEN16 = os.environ.get("PARADIS_INTERP_GEN16") == "1"
+
 
 def _weights_T(pos, size, mode, derivative=False, row0=0):
     """Dense kernel columns K(pos − i), positions-last: [vb, size, P] fp32.
@@ -80,6 +86,10 @@ def _weights_T(pos, size, mode, derivative=False, row0=0):
         i0, _, ws, dws = _tap_scalars(pos, mode, True)
     else:
         i0, _, ws = _tap_scalars(pos, mode, False)
+    if _GEN16:
+        ws = tuple(w.astype(jnp.bfloat16) for w in ws)
+        if derivative:
+            dws = tuple(w.astype(jnp.bfloat16) for w in dws)
     idx = jax.lax.broadcasted_iota(jnp.int32, (vb, size, P), 1).astype(jnp.float32)
     rel = (idx + float(row0)) - i0[:, None, :]
 
