@@ -382,8 +382,14 @@ def wsd_schedule(base_lr: float, total_steps: int, warmup, decay) -> Callable[[i
     """Warmup-stable-decay (reference trainer.py:416-456)."""
     warmup_steps = warmup if warmup >= 1 else warmup * total_steps
     decay_steps = decay if decay >= 1 else decay * total_steps
-    assert warmup_steps >= 0 and decay_steps >= 0
-    assert warmup_steps + decay_steps <= total_steps
+    if warmup_steps < 0 or decay_steps < 0:
+        raise ValueError("WSD warmup/decay must be non-negative")
+    if warmup_steps + decay_steps > total_steps:
+        raise ValueError(
+            f"WSD schedule needs warmup ({warmup_steps}) + decay "
+            f"({decay_steps}) <= total steps ({total_steps}); shorten them "
+            f"(training.scheduler.wsd.warmup/decay) or raise "
+            f"training.max_steps")
     steady = total_steps - (warmup_steps + decay_steps)
 
     def fn(step: int) -> float:
