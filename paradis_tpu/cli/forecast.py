@@ -52,11 +52,10 @@ def main(argv=None):
     cfg.compute.batch_size = args.batch_size
     cfg.compute.use_amp = False  # forecast in fp32 (reference forecast.py:85)
 
-    # honor compute.platform before any backend use (same pin as training's
-    # setup_system; jax.config is process-wide and must precede device init)
-    platform = str(cfg.compute.get("platform", "auto") or "auto").lower()
-    if platform != "auto":
-        jax.config.update("jax_platforms", platform)
+    # honor compute.platform before any backend use
+    from paradis_tpu.utils.system import pin_platform
+
+    pin_platform(cfg)
 
     from paradis_tpu.data.dataset import ERA5Dataset
     from paradis_tpu.data.pipeline import BatchLoader

@@ -24,6 +24,11 @@ def main(argv=None):
 
     cfg = load_config(args.config, overrides=args.overrides)
 
+    # platform pin first — jax.distributed.initialize touches the backend
+    from paradis_tpu.utils.system import pin_platform
+
+    pin_platform(cfg)
+
     # multi-host bring-up before any jax use (reference multi-node DDP,
     # train.py:44-49): config keys or the standard env variables
     import os

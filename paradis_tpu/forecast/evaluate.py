@@ -135,44 +135,51 @@ def evaluate_store(forecast_path: str, truth_root: str,
         arr = fc[var]
         lvl_idx = levels.index(level) if level is not None else None
         truth_name = _TRUTH_NAME[var] + (f"_h{level}" if level is not None else "")
-        pairs_by_lead: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+
+        def read_pred(t_i: int, td_i: int) -> np.ndarray:
+            if lvl_idx is not None:
+                return np.asarray(arr[t_i, td_i, lvl_idx])
+            return np.asarray(arr[t_i, td_i])
+
+        # pass 1 — streaming RMSE; cache one truth field per unique target
+        # time (the only per-field state kept: ACC's climatology needs the
+        # truth twice, predictions are re-read from the store in pass 2)
         truth_cache: dict[np.datetime64, np.ndarray | None] = {}
+        scored: dict[int, list[tuple[int, int, np.datetime64]]] = {}
+        mse_sum: dict[int, float] = {}
         for lead in lead_hours:
             td_candidates = np.nonzero(tds == np.timedelta64(lead, "h"))[0]
             if len(td_candidates) == 0:
                 continue
             td_i = int(td_candidates[0])
-            pairs = pairs_by_lead.setdefault(lead, [])
             for t_i, t0 in enumerate(init_times):
                 target_time = t0 + np.timedelta64(lead, "h")
                 if target_time not in truth_cache:
-                    truth_cache[target_time] = truth.field(truth_name, target_time)
+                    tr = truth.field(truth_name, target_time)
+                    truth_cache[target_time] = (
+                        None if tr is None else tr.astype(np.float64))
                 tr = truth_cache[target_time]
                 if tr is None:
                     continue
-                if lvl_idx is not None:
-                    pred = np.asarray(arr[t_i, td_i, lvl_idx])
-                else:
-                    pred = np.asarray(arr[t_i, td_i])
+                pred = read_pred(t_i, td_i)
                 if not np.isfinite(pred).all():
                     continue
-                pairs.append((pred.astype(np.float64), tr.astype(np.float64)))
+                se = (pred.astype(np.float64) - tr) ** 2
+                mse_sum[lead] = mse_sum.get(lead, 0.0) + float((se * w2).mean())
+                scored.setdefault(lead, []).append((t_i, td_i, target_time))
 
         # per-variable climatology: time mean of every truth field scored
         truth_fields = [t for t in truth_cache.values() if t is not None]
-        clim = (np.mean([t.astype(np.float64) for t in truth_fields], axis=0)
-                if truth_fields else None)
+        clim = np.mean(truth_fields, axis=0) if truth_fields else None
 
         key = f"{var}_h{level}" if level is not None else var
-        for lead, pairs in pairs_by_lead.items():
-            if not pairs:
-                continue
-            mse = np.mean([((p - t) ** 2 * w2).mean() for p, t in pairs])
-            results[f"{key}@{lead}h"] = float(np.sqrt(mse))
+        for lead, items in scored.items():
+            results[f"{key}@{lead}h"] = float(np.sqrt(mse_sum[lead] / len(items)))
             if acc and clim is not None:
                 accs = []
-                for p, t in pairs:
-                    pa, ta = p - clim, t - clim
+                for t_i, td_i, target_time in items:  # pass 2 — anomalies
+                    pa = read_pred(t_i, td_i).astype(np.float64) - clim
+                    ta = truth_cache[target_time] - clim
                     num = float((pa * ta * w2).mean())
                     den = float(np.sqrt((pa * pa * w2).mean()
                                         * (ta * ta * w2).mean()))

@@ -61,9 +61,11 @@ _CHUNK_MIN_ROWS = 96
 
 # PARADIS_INTERP_GEN16=1 generates the expanded weight tensors directly in
 # bfloat16 (the tap scalars stay fp32): halves the select-tree's VMEM
-# footprint and write traffic at a ~1e-3 relative weight quantization (the
-# dots already consume bf16 under AMP).  Experimental A/B switch.
-_GEN16 = os.environ.get("PARADIS_INTERP_GEN16") == "1"
+# footprint and write traffic at a bf16-eps (~4e-3 relative) weight
+# quantization; the dots already consume bf16 under AMP.  Experimental
+# A/B switch, read per call.
+def _gen16() -> bool:
+    return os.environ.get("PARADIS_INTERP_GEN16") == "1"
 
 
 def _weights_T(pos, size, mode, derivative=False, row0=0):
@@ -86,7 +88,7 @@ def _weights_T(pos, size, mode, derivative=False, row0=0):
         i0, _, ws, dws = _tap_scalars(pos, mode, True)
     else:
         i0, _, ws = _tap_scalars(pos, mode, False)
-    if _GEN16:
+    if _gen16():
         ws = tuple(w.astype(jnp.bfloat16) for w in ws)
         if derivative:
             dws = tuple(w.astype(jnp.bfloat16) for w in dws)
@@ -281,8 +283,14 @@ def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool, rw: int = 0) -> int:
     so R enters per-position costs as rw — larger position blocks fit.
     """
     env = os.environ.get("PARADIS_INTERP_PB")  # experimentation override
-    if env and P % int(env) == 0:
-        return int(env)
+    if env:
+        forced = int(env)
+        if forced > 0 and P % forced == 0:
+            return forced
+        import warnings
+
+        warnings.warn(f"PARADIS_INTERP_PB={env} ignored: must be a positive "
+                      f"divisor of P={P}; using the VMEM heuristic")
     r_eff = rw if rw else R
     per_pos = vb * 4 * (int(1.5 * C) + 2 * r_eff if not bwd
                         else int(3.5 * C) + 3 * r_eff)

@@ -16,6 +16,22 @@ import numpy as np
 log = logging.getLogger("paradis_tpu")
 
 
+def pin_platform(cfg) -> None:
+    """Apply ``compute.platform`` to jax_platforms (before any backend use).
+
+    The reference delegates accelerator selection to Lightning's
+    ``accelerator="auto"``; here "auto" keeps the environment default and
+    "cpu"/"tpu"/<plugin name> force a backend — e.g. CPU-only runs on a
+    host whose accelerator is unavailable.  Must run before any backend
+    initialization (including jax.distributed.initialize).
+    """
+    import jax
+
+    platform = str(cfg.compute.get("platform", "auto") or "auto").lower()
+    if platform != "auto":
+        jax.config.update("jax_platforms", platform)
+
+
 def setup_system(cfg) -> None:
     seed = cfg.init.get("seed", None)
     if seed is not None:
@@ -26,14 +42,7 @@ def setup_system(cfg) -> None:
     # precision: bf16 matmuls under AMP, full fp32 otherwise
     import jax
 
-    # platform pinning (reference delegates accelerator selection to
-    # Lightning's `accelerator="auto"`; here `compute.platform` maps onto
-    # jax_platforms): "auto" keeps the environment default, "cpu"/"tpu"
-    # force a backend — e.g. CPU-only runs on a host whose accelerator
-    # is unavailable.  Must happen before any backend initialization.
-    platform = str(cfg.compute.get("platform", "auto") or "auto").lower()
-    if platform != "auto":
-        jax.config.update("jax_platforms", platform)
+    pin_platform(cfg)
 
     if not cfg.compute.use_amp:
         jax.config.update("jax_default_matmul_precision", "highest")

@@ -125,19 +125,26 @@ def parse_trace(trace_dir: str, steps: int):
 
 
 def load_hlo_metadata(dump_dir: str):
-    """op name → (jaxpr op_name, source file:line) from the HLO text dump."""
+    """op name → (jaxpr op_name, source file:line) from the HLO text dump.
+
+    Only the largest dumped module is read: that is the train step (init /
+    eval jits are far smaller), and generic op names like ``fusion.42``
+    recur across modules — merging them would mis-attribute device time.
+    """
     meta = {}
     pat = re.compile(
         r"%(\S+?) = .*?metadata=\{op_name=\"([^\"]*)\""
         r"(?:.*?source_file=\"([^\"]*)\" source_line=(\d+))?")
-    for path in glob.glob(os.path.join(dump_dir, "*after_optimizations.txt")):
-        with open(path) as f:
-            for line in f:
-                m = pat.search(line)
-                if m:
-                    name, op, sf, sl = m.groups()
-                    meta.setdefault(
-                        name, (op, f"{(sf or '?').split('/')[-1]}:{sl or '?'}"))
+    paths = glob.glob(os.path.join(dump_dir, "*after_optimizations.txt"))
+    if not paths:
+        return meta
+    with open(max(paths, key=os.path.getsize)) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                name, op, sf, sl = m.groups()
+                meta.setdefault(
+                    name, (op, f"{(sf or '?').split('/')[-1]}:{sl or '?'}"))
     return meta
 
 
@@ -164,8 +171,11 @@ def main():
     work = args.keep or tempfile.mkdtemp(prefix="paradis_profile_")
     dump_dir = os.path.join(work, "hlo")
     trace_dir = os.path.join(work, "trace")
-    os.environ.setdefault(
-        "XLA_FLAGS", f"--xla_dump_to={dump_dir} --xla_dump_hlo_as_text")
+    # append (not setdefault): attribution needs the dump even when the
+    # shell already exports XLA_FLAGS
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_dump_to={dump_dir} --xla_dump_hlo_as_text").strip()
 
     train_step, state, batch, d = build_step(args.batch, args.nlat, args.nlon,
                                              tiny=args.tiny)

@@ -168,3 +168,15 @@ def test_chunk_heuristics(monkeypatch):
     # chunked per-position VMEM estimate admits larger position blocks
     assert (mod._pick_pb(32768, 8, 160, 264, bwd=True, rw=32)
             >= mod._pick_pb(32768, 8, 132, 264, bwd=True))
+
+
+def test_gen16_parity_loose(monkeypatch):
+    """bf16 weight generation: same result within bf16-eps weight error."""
+    monkeypatch.setenv("PARADIS_INTERP_GEN16", "1")
+    field, py, px = _setup(seed=9)
+    ours = np.asarray(grid_sample_interp_pallas(field, py, px, "bicubic",
+                                                interpret=True))
+    ref = np.asarray(grid_sample_interp(field, py, px, "bicubic",
+                                        method="gather"))
+    scale = np.abs(np.asarray(field)).max()
+    np.testing.assert_allclose(ours, ref, atol=4 * 4e-3 * scale)
