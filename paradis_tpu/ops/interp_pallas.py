@@ -123,19 +123,50 @@ def _compute_dtype(field_dtype):
     return jnp.float32 if field_dtype == jnp.float32 else jnp.bfloat16
 
 
+def _fwd_contrib(f, wxT, py, mode, r0, rw, cdt):
+    """Rows [r0, r0+rw)'s contribution to the interpolated output.
+
+    ``f`` is the row slice [vb, rw, C] (cdt); t[v,r,p] = Σ_c f·wxT (M=rw rows
+    streamed, N=P lanes), reduced against the y-weights of those rows.
+    """
+    t = jax.lax.dot_general(
+        f, wxT, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                            # [vb, rw, P]
+    wyT = _weights_T(py, rw, mode, row0=r0)                      # [vb, rw, P]
+    return jnp.sum(wyT * t, axis=1)                              # [vb, P]
+
+
+def _bwd_contrib(f, wx2, py, g, mode, r0, rw, P, cdt, out_dtype):
+    """Rows [r0, r0+rw)'s contribution to (d_py, d_px, d_field rows).
+
+    One x-contraction serves both position cotangents: [wx | dwx] stacked
+    along the lane axis so a single [rw,C]@[C,2P] dot yields t = f·wx (for
+    d_py) and tdx = f·dwx (for d_px, replacing a separate u = f·wy dot since
+    d_px = g Σ_r wy·tdx ≡ g Σ_c dwx·u) — 2/3 the MXU FLOPs of three small
+    dots and twice the N per issue.
+    """
+    wyT, dwyT = _weights_T(py, rw, mode, derivative=True, row0=r0)
+    tt = jax.lax.dot_general(f, wx2, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # [vb, rw, 2P]
+    dpy = g * jnp.sum(dwyT * tt[..., :P], axis=1)
+    dpx = g * jnp.sum(wyT * tt[..., P:], axis=1)
+    # d_field[v,r,c] = Σ_p wyT[v,r,p] g[v,p] wxT[v,c,p] over this p block
+    wyg = (wyT * g[:, None, :]).astype(cdt)                      # [vb, rw, P]
+    partial = jax.lax.dot_general(
+        wyg, wx2[..., :P], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)                                          # [vb, rw, C]
+    return dpy, dpx, partial
+
+
 def _fwd_kernel(field_ref, py_ref, px_ref, out_ref, *, mode, cdt):
     R, C = field_ref.shape[-2], field_ref.shape[-1]
     py = py_ref[0]                                               # [vb, P]
     px = px_ref[0]
     f = field_ref[0].astype(cdt)                                 # [vb, R, C]
     wxT = _weights_T(px, C, mode).astype(cdt)                    # [vb, C, P]
-    # t[v,r,p] = Σ_c f[v,r,c] · wxT[v,c,p]  (M=R rows streamed, N=P lanes)
-    t = jax.lax.dot_general(
-        f, wxT, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                            # [vb, R, P]
-    wyT = _weights_T(py, R, mode)                                # [vb, R, P]
-    out_ref[0] = jnp.sum(wyT * t, axis=1)                        # [vb, P]
+    out_ref[0] = _fwd_contrib(f, wxT, py, mode, 0, R, cdt)
 
 
 def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
@@ -147,27 +178,14 @@ def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
     f = field_ref[0].astype(cdt)                                 # [vb, R, C]
     g = g_ref[0]                                                 # [vb, P]
     wxT, dwxT = _weights_T(px, C, mode, derivative=True)         # [vb, C, P]
-    wyT, dwyT = _weights_T(py, R, mode, derivative=True)         # [vb, R, P]
-
-    # one x-contraction for both position cotangents: stack [wx | dwx] along
-    # the lane axis so a single [R,C]@[C,2P] dot yields t = f·wx (for d_py)
-    # and tdx = f·dwx (for d_px, replacing the separate u = f·wy dot since
-    # d_px = g Σ_r wy·tdx ≡ g Σ_c dwx·u) — 2/3 the MXU FLOPs of three small
-    # dots and twice the N per issue.
     wx2 = jnp.concatenate([wxT, dwxT], axis=-1).astype(cdt)      # [vb, C, 2P]
-    tt = jax.lax.dot_general(f, wx2, (((2,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)  # [vb, R, 2P]
-    dpy_ref[0] = g * jnp.sum(dwyT * tt[..., :P], axis=1)
-    dpx_ref[0] = g * jnp.sum(wyT * tt[..., P:], axis=1)
+    dpy, dpx, partial = _bwd_contrib(f, wx2, py, g, mode, 0, R, P, cdt,
+                                     dfield_ref.dtype)
+    dpy_ref[0] = dpy
+    dpx_ref[0] = dpx
 
-    # d_field[v,r,c] = Σ_p wyT[v,r,p] g[v,p] wxT[v,c,p], accumulated across
-    # position blocks (the grid revisits this output block with p innermost)
-    wyg = (wyT * g[:, None, :]).astype(cdt)                      # [vb, R, P]
-    partial = jax.lax.dot_general(
-        wyg, wx2[..., :P], (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(dfield_ref.dtype)                                   # [vb, R, C]
-
+    # d_field accumulates across position blocks (the grid revisits this
+    # output block with p innermost)
     @pl.when(pl.program_id(2) == 0)
     def _():
         dfield_ref[0] = partial
@@ -198,12 +216,8 @@ def _fwd_kernel_chunked(field_ref, py_ref, px_ref, out_ref, *, mode, cdt, rw):
         @pl.when((lo <= float(r0 + rw - 1)) & (hi >= float(r0)))
         def _(r0=r0):
             f = field_ref[0, :, r0:r0 + rw, :].astype(cdt)       # [vb, rw, C]
-            t = jax.lax.dot_general(
-                f, wxT, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )                                                    # [vb, rw, P]
-            wyT = _weights_T(py, rw, mode, row0=r0)              # [vb, rw, P]
-            out_ref[0] = out_ref[0] + jnp.sum(wyT * t, axis=1)
+            out_ref[0] = out_ref[0] + _fwd_contrib(f, wxT, py, mode, r0, rw,
+                                                   cdt)
 
 
 def _bwd_kernel_chunked(field_ref, py_ref, px_ref, g_ref,
@@ -229,18 +243,10 @@ def _bwd_kernel_chunked(field_ref, py_ref, px_ref, g_ref,
         @pl.when((lo <= float(r0 + rw - 1)) & (hi >= float(r0)))
         def _(r0=r0):
             f = field_ref[0, :, r0:r0 + rw, :].astype(cdt)       # [vb, rw, C]
-            wyT, dwyT = _weights_T(py, rw, mode, derivative=True, row0=r0)
-            tt = jax.lax.dot_general(
-                f, wx2, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )                                                    # [vb, rw, 2P]
-            dpy_ref[0] = dpy_ref[0] + g * jnp.sum(dwyT * tt[..., :P], axis=1)
-            dpx_ref[0] = dpx_ref[0] + g * jnp.sum(wyT * tt[..., P:], axis=1)
-            wyg = (wyT * g[:, None, :]).astype(cdt)              # [vb, rw, P]
-            partial = jax.lax.dot_general(
-                wyg, wx2[..., :P], (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(dfield_ref.dtype)                           # [vb, rw, C]
+            dpy, dpx, partial = _bwd_contrib(f, wx2, py, g, mode, r0, rw, P,
+                                             cdt, dfield_ref.dtype)
+            dpy_ref[0] = dpy_ref[0] + dpy
+            dpx_ref[0] = dpx_ref[0] + dpx
             dfield_ref[0, :, r0:r0 + rw, :] = (
                 dfield_ref[0, :, r0:r0 + rw, :] + partial)
 
