@@ -94,6 +94,15 @@ def _weights_T(pos, size, mode, derivative=False, row0=0):
             dws = tuple(w.astype(jnp.bfloat16) for w in dws)
     idx = jax.lax.broadcasted_iota(jnp.int32, (vb, size, P), 1).astype(jnp.float32)
     rel = (idx + float(row0)) - i0[:, None, :]
+    if _gen16():
+        # compare in bf16 so the i1 masks are born in the 16-bit-packed
+        # layout the bf16 selects need — Mosaic cannot relayout 32-bit-packed
+        # masks to (16,128) ("Invalid relayout ... vector<...xi1>", measured
+        # on v5e).  rel is integer-valued; bf16 keeps integers exact up to
+        # 2^8 and only rounds values far outside the select thresholds
+        # ({-1,0,1,2} and the [-1,2] band), where every comparison below is
+        # false before and after rounding — exact at any grid size.
+        rel = rel.astype(jnp.bfloat16)
 
     if mode == "bilinear":
         is0 = rel == 0.0
