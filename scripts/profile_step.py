@@ -93,7 +93,13 @@ def collect_trace(train_step, state, batch, n_common, trace_dir, steps=4):
 
 
 def parse_trace(trace_dir: str, steps: int):
-    """Aggregate device-lane event durations (ms per step) by op name."""
+    """Aggregate device-lane event durations (ms per step) by op name.
+
+    Returns ``{op_name: [ms_per_step, hlo_category, long_name]}`` — the
+    category/long_name args come straight from the profiler events and are
+    the only metadata available when the HLO dump is absent (the axon
+    remote-compile helper scrubs ``--xla_dump_to`` since Aug 2026).
+    """
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -112,7 +118,7 @@ def parse_trace(trace_dir: str, steps: int):
                 if "TPU" in n or "Device" in n or "axon" in n.lower()}
     if not dev_pids:  # CPU backend: ops are traced under the host process
         dev_pids = {p for p, n in pid_names.items() if "host" in n.lower()}
-    agg = collections.defaultdict(float)
+    agg = collections.defaultdict(lambda: [0.0, "", ""])
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
@@ -120,8 +126,37 @@ def parse_trace(trace_dir: str, steps: int):
         # keep op lanes only (drop step/module/framework roll-up lanes)
         if "Steps" in tname or "XLA Modules" in tname or "Framework" in tname:
             continue
-        agg[e["name"]] += e.get("dur", 0) / 1e3 / steps
+        row = agg[e["name"]]
+        row[0] += e.get("dur", 0) / 1e3 / steps
+        args = e.get("args", {})
+        if not row[1]:
+            row[1] = args.get("hlo_category", "")
+            row[2] = args.get("long_name", "")
     return agg
+
+
+_PARAM_RE = re.compile(r"%state_params__params____(\w+?)__(?:__|\.|\b)")
+
+
+def _label_from_event(name: str, category: str, long_name: str) -> str:
+    """Attribution label when no HLO dump exists (trace-only metadata).
+
+    Pallas kernels keep their jax function name (``advection.N``); for XLA
+    fusions the fused parameter names (``%state_params__params____<module
+    path>``) identify the owning module.
+    """
+    base = name.split(".")[0]
+    if category == "custom-call":
+        # Pallas custom-calls: tuple output = backward (d_field, d_py, d_px)
+        kind = "bwd" if long_name.split("=", 1)[-1].lstrip().startswith("(") \
+            else "fwd"
+        return f"pallas:{base} ({kind})"
+    m = _PARAM_RE.search(long_name)
+    if m:
+        path = m.group(1).split("____")
+        mod = "/".join(path[:2]) if len(path) > 1 else path[0]
+        return f"{category or base}: {mod}"
+    return f"{category or '?'}: {base}"
 
 
 def load_hlo_metadata(dump_dir: str):
@@ -184,19 +219,23 @@ def main():
     agg = parse_trace(trace_dir, args.steps)
     meta = load_hlo_metadata(dump_dir)
 
-    total = sum(agg.values())
+    total = sum(row[0] for row in agg.values())
     print(f"device time: {total:.2f} ms/step "
           f"(batch {args.batch}, {args.nlat}x{args.nlon}); trace: {work}")
     if args.bucket == "op":
-        rows = sorted(((t, n) for n, t in agg.items()), reverse=True)
-        for t, n in rows[: args.top]:
+        rows = sorted(((row[0], n, row[1], row[2]) for n, row in agg.items()),
+                      reverse=True)
+        for t, n, category, long_name in rows[: args.top]:
             op, src = meta.get(n, ("?", "?"))
-            print(f"  {t:8.3f} ms  {n:40.40s} {src:26.26s} {op[-60:]}")
+            if src == "?":  # dump scrubbed: show trace-derived label instead
+                src = _label_from_event(n, category, long_name)
+            print(f"  {t:8.3f} ms  {n:40.40s} {src:36.36s} {op[-50:]}")
         return
     buckets = collections.defaultdict(float)
-    for n, t in agg.items():
+    for n, row in agg.items():
         info = meta.get(n)
-        buckets[info[1] if info else "(no-meta)"] += t
+        buckets[info[1] if info
+                else _label_from_event(n, row[1], row[2])] += row[0]
     rows = sorted(((t, s) for s, t in buckets.items()), reverse=True)
     for t, s in rows[: args.top]:
         print(f"  {t:8.3f} ms  {s}")
