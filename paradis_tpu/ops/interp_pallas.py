@@ -92,30 +92,33 @@ def _weights_T(pos, size, mode, derivative=False, row0=0):
         ws = tuple(w.astype(jnp.bfloat16) for w in ws)
         if derivative:
             dws = tuple(w.astype(jnp.bfloat16) for w in dws)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (vb, size, P), 1).astype(jnp.float32)
-    rel = (idx + float(row0)) - i0[:, None, :]
     if _gen16():
-        # compare in bf16 so the i1 masks are born in the 16-bit-packed
-        # layout the bf16 selects need — Mosaic cannot relayout 32-bit-packed
-        # masks to (16,128) ("Invalid relayout ... vector<...xi1>", measured
-        # on v5e).  rel is integer-valued; bf16 keeps integers exact up to
-        # 2^8 and only rounds values far outside the select thresholds
-        # ({-1,0,1,2} and the [-1,2] band), where every comparison below is
-        # false before and after rounding — exact at any grid size.
-        rel = rel.astype(jnp.bfloat16)
+        # compare in int16 so the i1 masks are born in the 16-bit-packed
+        # layout the bf16 selects need — Mosaic can neither relayout
+        # 32-bit-packed masks to (16,128) ("Invalid relayout ...
+        # vector<...xi1>") nor compare bf16 directly ("Target does not
+        # support this comparison"), both measured on v5e.  rel is an exact
+        # integer with |rel| ≤ R + size ≪ 2^15, so int16 is lossless.
+        idx = jax.lax.broadcasted_iota(jnp.int32, (vb, size, P), 1)
+        rel = (idx + row0 - i0[:, None, :].astype(jnp.int32)).astype(jnp.int16)
+    else:
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (vb, size, P), 1).astype(jnp.float32)
+        rel = (idx + float(row0)) - i0[:, None, :]
 
+    # weak-typed int constants: compare as int16 under gen16, fp32 otherwise
     if mode == "bilinear":
-        is0 = rel == 0.0
-        inb = is0 | (rel == 1.0)
+        is0 = rel == 0
+        inb = is0 | (rel == 1)
 
         def expand(vals):
             v = jnp.where(is0, vals[0][:, None, :], vals[1][:, None, :])
             return jnp.where(inb, v, 0.0)
     else:
-        ism1 = rel == -1.0
-        lo_half = rel <= 0.0
-        is1 = rel == 1.0
-        inb = (rel >= -1.0) & (rel <= 2.0)
+        ism1 = rel == -1
+        lo_half = rel <= 0
+        is1 = rel == 1
+        inb = (rel >= -1) & (rel <= 2)
 
         def expand(vals):
             lo = jnp.where(ism1, vals[0][:, None, :], vals[1][:, None, :])
