@@ -59,13 +59,14 @@ _VMEM_BUDGET = 12 * 2**20  # working-set target per kernel instance (bytes;
 _CHUNK_ROWS = 32
 _CHUNK_MIN_ROWS = 96
 
-# PARADIS_INTERP_GEN16=1 generates the expanded weight tensors directly in
-# bfloat16 (the tap scalars stay fp32): halves the select-tree's VMEM
-# footprint and write traffic at a bf16-eps (~4e-3 relative) weight
-# quantization; the dots already consume bf16 under AMP.  Experimental
-# A/B switch, read per call.
-def _gen16() -> bool:
-    return os.environ.get("PARADIS_INTERP_GEN16") == "1"
+# Dead end (measured, v5e): generating the expanded weight tensors directly
+# in bfloat16 ("GEN16") cannot compile on the target.  bf16 selects need
+# masks in the 16-bit-packed layout, but Mosaic can neither relayout the
+# 32-bit-packed masks fp32 comparisons produce ("Invalid relayout ...
+# vector<...xi1>") nor compare 16-bit types at all ("Target does not support
+# this comparison" for both bf16 and int16 operands).  The only compiling
+# formulation — select in fp32, cast the result — is exactly what the
+# kernels already do via ``.astype(cdt)`` before the dots.
 
 
 def _weights_T(pos, size, mode, derivative=False, row0=0):
@@ -88,25 +89,10 @@ def _weights_T(pos, size, mode, derivative=False, row0=0):
         i0, _, ws, dws = _tap_scalars(pos, mode, True)
     else:
         i0, _, ws = _tap_scalars(pos, mode, False)
-    if _gen16():
-        ws = tuple(w.astype(jnp.bfloat16) for w in ws)
-        if derivative:
-            dws = tuple(w.astype(jnp.bfloat16) for w in dws)
-    if _gen16():
-        # compare in int16 so the i1 masks are born in the 16-bit-packed
-        # layout the bf16 selects need — Mosaic can neither relayout
-        # 32-bit-packed masks to (16,128) ("Invalid relayout ...
-        # vector<...xi1>") nor compare bf16 directly ("Target does not
-        # support this comparison"), both measured on v5e.  rel is an exact
-        # integer with |rel| ≤ R + size ≪ 2^15, so int16 is lossless.
-        idx = jax.lax.broadcasted_iota(jnp.int32, (vb, size, P), 1)
-        rel = (idx + row0 - i0[:, None, :].astype(jnp.int32)).astype(jnp.int16)
-    else:
-        idx = jax.lax.broadcasted_iota(
-            jnp.int32, (vb, size, P), 1).astype(jnp.float32)
-        rel = (idx + float(row0)) - i0[:, None, :]
+    idx = jax.lax.broadcasted_iota(
+        jnp.int32, (vb, size, P), 1).astype(jnp.float32)
+    rel = (idx + float(row0)) - i0[:, None, :]
 
-    # weak-typed int constants: compare as int16 under gen16, fp32 otherwise
     if mode == "bilinear":
         is0 = rel == 0
         inb = is0 | (rel == 1)
@@ -296,9 +282,13 @@ def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool, rw: int = 0) -> int:
     5.625° but ~3 MB at 1.40625°, where omitting them overflowed the 16 MB
     Mosaic scoped-vmem limit at pb=256.
 
-    Row-chunked kernels (``rw > 0``) only ever hold one rw-row chunk of the
-    row-indexed temporaries (t/wy live inside the chunk's ``pl.when`` scope),
-    so R enters per-position costs as rw — larger position blocks fit.
+    Row-chunked kernels (``rw > 0``) hold one rw-row chunk of the row-indexed
+    temporaries per ``pl.when`` scope, but Mosaic does NOT share stack slots
+    across the unrolled chunk scopes: sizing them at rw underestimated the
+    stack by ~1.5× and OOMed the 16 MB scoped-vmem limit at 1.40625°
+    (measured: modeled 11.5 MB, actual 17.17 MB at rw=32 pb=256).  Count the
+    row temporaries at the full padded R — worst case every chunk fires and
+    each scope keeps its slots live.
     """
     env = os.environ.get("PARADIS_INTERP_PB")  # experimentation override
     if env:
@@ -309,9 +299,8 @@ def _pick_pb(P: int, vb: int, R: int, C: int, bwd: bool, rw: int = 0) -> int:
 
         warnings.warn(f"PARADIS_INTERP_PB={env} ignored: must be a positive "
                       f"divisor of P={P}; using the VMEM heuristic")
-    r_eff = rw if rw else R
-    per_pos = vb * 4 * (int(1.5 * C) + 2 * r_eff if not bwd
-                        else int(3.5 * C) + 3 * r_eff)
+    per_pos = vb * 4 * (int(1.5 * C) + 2 * R if not bwd
+                        else int(3.5 * C) + 3 * R)
     fixed = vb * R * C * (10 if bwd else 2)
     pb = min(P, 2048)
     while pb > 128 and (fixed + pb * per_pos > _VMEM_BUDGET or P % pb != 0):

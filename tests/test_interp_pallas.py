@@ -165,18 +165,14 @@ def test_chunk_heuristics(monkeypatch):
     assert mod._chunk_rows(36, 8) == 8             # explicit on
     monkeypatch.setenv("PARADIS_INTERP_CHUNK", "16")
     assert mod._chunk_rows(36, None) == 16         # env A/B switch
-    # chunked per-position VMEM estimate admits larger position blocks
-    assert (mod._pick_pb(32768, 8, 160, 264, bwd=True, rw=32)
-            >= mod._pick_pb(32768, 8, 132, 264, bwd=True))
+    # chunked kernels size row temporaries at full R (Mosaic keeps each
+    # unrolled pl.when scope's stack slots live: rw-based sizing OOMed the
+    # 16 MB scoped-vmem limit on v5e at 1.40625°).  High-res bwd must pick a
+    # block small enough for the measured ~1.5× stack overhead.
+    assert mod._pick_pb(32768, 8, 160, 264, bwd=True, rw=32) <= 128
+    assert mod._pick_pb(32768, 8, 136, 264, bwd=True) <= 128
 
 
-def test_gen16_parity_loose(monkeypatch):
-    """bf16 weight generation: same result within bf16-eps weight error."""
-    monkeypatch.setenv("PARADIS_INTERP_GEN16", "1")
-    field, py, px = _setup(seed=9)
-    ours = np.asarray(grid_sample_interp_pallas(field, py, px, "bicubic",
-                                                interpret=True))
-    ref = np.asarray(grid_sample_interp(field, py, px, "bicubic",
-                                        method="gather"))
-    scale = np.abs(np.asarray(field)).max()
-    np.testing.assert_allclose(ours, ref, atol=4 * 4e-3 * scale)
+# (bf16 weight generation "GEN16" was removed: v5e Mosaic supports neither
+# 16-bit comparisons nor 32→16-bit mask relayout, so it cannot compile on
+# the target — see the dead-end note in ops/interp_pallas.py.)
