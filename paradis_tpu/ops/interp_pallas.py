@@ -46,18 +46,20 @@ _VMEM_BUDGET = 12 * 2**20  # working-set target per kernel instance (bytes;
 # flagship shapes vs 10 MB (bwd pb 512→1024: ~14% faster, per-instance
 # weight-generation overhead amortizes)
 
-# Row chunking: the dense y-contraction costs O(R) per position but each
-# position's kernel touches only 4 rows (2 bilinear), clustered around the
-# position block's latitude band.  For large grids the kernels therefore
-# process the padded rows in static _CHUNK_ROWS-row chunks, each guarded by
-# ``pl.when(chunk ∩ [min tap row, max tap row] ≠ ∅)`` on block-level scalars:
-# exact for arbitrary displacements (worst case ≡ the unchunked kernel), and
-# at 1.40625° (R=132, position blocks spanning 2–4 latitude rows) typically
-# 1–2 of 5 chunks run — the dominant f·wx GEMM shrinks by the same factor.
-# Disabled below _CHUNK_MIN_ROWS (flagship 5.625° has R=36 and full-grid
-# position blocks, where every chunk would fire).
+# Row chunking (EXPERIMENTAL, off by default — set PARADIS_INTERP_CHUNK):
+# the dense y-contraction costs O(R) per position but each position's kernel
+# touches only 4 rows (2 bilinear), clustered around the position block's
+# latitude band, so the kernels can process the padded rows in static
+# rw-row chunks guarded by ``pl.when(chunk ∩ [min tap row, max tap row] ≠
+# ∅)`` — exact for arbitrary displacements.  Measured on v5e it LOSES at
+# every size, even at near-zero displacements where the fewest chunks fire:
+# flagship 5.625° 28.9 → 25.1 samples/s (rw=8 pb=256); 1.40625° step 1060 →
+# 1170 ms (rw=32) / 1195 ms (rw=16) at pb=128.  The guard branches break
+# Mosaic's scheduling/pipelining by more than the smaller f·wx GEMMs save,
+# and each unrolled ``pl.when`` scope keeps its own stack slots live (rw-
+# based VMEM sizing OOMed the 16 MB scoped limit).  Kept behind the env
+# knob for future-hardware A/Bs; auto-dispatch never chunks.
 _CHUNK_ROWS = 32
-_CHUNK_MIN_ROWS = 96
 
 # Dead end (measured, v5e): generating the expanded weight tensors directly
 # in bfloat16 ("GEN16") cannot compile on the target.  bf16 selects need
@@ -253,15 +255,16 @@ def _chunk_rows(R: int, override) -> int:
     """Row-chunk size for this grid (0 = unchunked).
 
     Priority: explicit ``chunk_rows`` argument, then the
-    ``PARADIS_INTERP_CHUNK`` env var (benchmark A/B switch), then the
-    R-threshold heuristic.
+    ``PARADIS_INTERP_CHUNK`` env var (benchmark A/B switch).  Default is
+    always unchunked — chunking measured slower at every size (see the
+    dead-end note at _CHUNK_ROWS).
     """
     if override is not None:
         return int(override)
     env = os.environ.get("PARADIS_INTERP_CHUNK")
     if env is not None:
         return int(env)
-    return _CHUNK_ROWS if R >= _CHUNK_MIN_ROWS else 0
+    return 0
 
 
 def _pick_vb(V: int) -> int:

@@ -158,9 +158,9 @@ def test_chunked_skipping_narrow_band(monkeypatch):
 def test_chunk_heuristics(monkeypatch):
     import paradis_tpu.ops.interp_pallas as mod
 
-    # flagship 5.625° (R=36): unchunked; 1.40625° (R=132): chunked
+    # default is always unchunked (chunking measured slower at every size)
     assert mod._chunk_rows(36, None) == 0
-    assert mod._chunk_rows(132, None) == mod._CHUNK_ROWS
+    assert mod._chunk_rows(132, None) == 0
     assert mod._chunk_rows(132, 0) == 0            # explicit off
     assert mod._chunk_rows(36, 8) == 8             # explicit on
     monkeypatch.setenv("PARADIS_INTERP_CHUNK", "16")
