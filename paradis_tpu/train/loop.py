@@ -125,8 +125,6 @@ class Trainer:
             params = load_params(cfg.init.checkpoint_path, params)
 
         self.optimizer = build_optimizer(cfg, params)
-        self.train_step, _ = make_train_step(self.model, self.loss_fn, cfg,
-                                             self.optimizer)
 
         report = None
         self.report_features = []
@@ -152,10 +150,17 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, self.val_loss_fn, cfg, report)
 
         self.state = create_train_state(params, self.optimizer)
+        state_shardings = None
         if self.mesh is not None:
-            from paradis_tpu.distributed import replicate
+            from paradis_tpu.distributed import shard_state
 
-            self.state = replicate(self.state, self.mesh)
+            # ZeRO-3/FSDP: shard params + optimizer state over the data axis
+            # (compute.fsdp); otherwise replicate like the reference's DDP
+            self.state, state_shardings = shard_state(
+                self.state, self.mesh, fsdp=bool(cfg.compute.get("fsdp", False)))
+        self.train_step, _ = make_train_step(self.model, self.loss_fn, cfg,
+                                             self.optimizer,
+                                             state_shardings=state_shardings)
 
         # -- schedule / checkpoints / logging ----------------------------------
         max_steps = int(cfg.training.max_steps)

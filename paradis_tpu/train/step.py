@@ -88,18 +88,29 @@ def _rollout_segment(model_apply, loss_fn, params, dyn_input, targets, forcings,
 
 
 def make_train_step(model, loss_fn, cfg, optimizer=None,
-                    donate: bool = True) -> tuple[Callable, Any]:
+                    donate: bool = True,
+                    state_shardings=None) -> tuple[Callable, Any]:
     """Build (jitted train_step, optimizer).
 
     ``train_step(state, batch, num_common) -> (state, metrics)`` where
     metrics = {loss, loss_per_step, grad_norm, applied} plus, when
     ``training.log_additional_stats`` is on, the raw gradient tree and
     per-channel weighted/unweighted losses (reference trainer.py:520-617).
+
+    ``state_shardings`` (a TrainState-shaped tree of NamedShardings, from
+    ``distributed.shard_state(fsdp=True)``) pins the output state's layout so
+    FSDP-sharded params/optimizer state stay sharded across steps instead of
+    drifting to whatever GSPMD propagation picks.
     """
     n_time = int(cfg.dataset.n_time_inputs)
     grad_accum = int(cfg.training.get("accumulate_grad_batches", 1))
     detach_every = cfg.training.optimizer.get("detach_gradient_every", None)
     deep_stats = bool(cfg.training.get("log_additional_stats", False))
+
+    def _pin(new_state: TrainState) -> TrainState:
+        if state_shardings is None:
+            return new_state
+        return jax.lax.with_sharding_constraint(new_state, state_shardings)
 
     def step_fn(state: TrainState, batch: dict, num_common_features: int):
         dyn_input = batch["input"]
@@ -163,6 +174,7 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
                 params=new_params, opt_state=new_opt,
                 step=state.step + 1, micro_step=micro, accum=state.accum,
             )
+            new_state = _pin(new_state)
             metrics = {
                 "loss": train_loss,
                 "loss_per_step": losses_all,
@@ -200,6 +212,7 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
             micro_step=micro,
             accum=new_accum,
         )
+        new_state = _pin(new_state)
         metrics = {
             "loss": train_loss,
             "loss_per_step": losses_all,

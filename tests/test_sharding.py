@@ -180,3 +180,64 @@ def test_forecast_rollout_sharded():
         out = rollout(params_r, sharded, C_COMMON)
     assert out.shape == (4, 2, H, W, C_OUT)
     assert np.isfinite(np.asarray(out)).all()
+
+def _run_fsdp_step(batch, optimizer_name="normuon", seed=0):
+    from paradis_tpu.distributed import shard_state
+
+    cfg = _cfg()
+    cfg.training.optimizer.name = optimizer_name
+    model = _model()
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, H, W, C_IN)))
+    opt = build_optimizer(cfg, params)
+    loss_fn = WeightedLoss(kind="mse", feature_weights=np.ones(C_OUT, np.float32))
+    mesh = create_mesh(data=4, space=2)
+    with mesh:
+        state, shardings = shard_state(create_train_state(params, opt), mesh,
+                                       fsdp=True, min_size=64)
+        step, _ = make_train_step(model, loss_fn, cfg, opt, donate=False,
+                                  state_shardings=shardings)
+        sharded = shard_batch(batch, mesh)
+        state, m = step(state, sharded, C_COMMON)
+    return state, m, mesh
+
+
+def test_fsdp_state_is_sharded_and_stays_sharded():
+    """compute.fsdp: params/opt state shard over 'data' and the step keeps them so."""
+    batch = _batch(B=4, seed=13)
+    state, m, mesh = _run_fsdp_step(batch)
+    assert np.isfinite(float(m["loss"]))
+
+    def _sharded_leaves(tree):
+        return [
+            p for p in jax.tree.leaves(tree)
+            if any(s == DATA_AXIS for s in (p.sharding.spec or ()))
+        ]
+
+    # large-enough leaves must actually be split over the data axis, both in
+    # the params and in the optimizer state (momenta mirror param shapes) —
+    # and the jitted step's with_sharding_constraint must preserve that
+    assert _sharded_leaves(state.params), "no param leaf sharded over data"
+    assert _sharded_leaves(state.opt_state), "no opt-state leaf sharded over data"
+
+
+def test_fsdp_step_matches_replicated():
+    """ZeRO-3 sharding is a layout choice: numerics must match replicated DP."""
+    batch = _batch(B=4, seed=17)
+    s1, m1 = _run_step({"data": 4, "space": 2}, batch, seed=4)
+    cfg = _cfg()
+    from paradis_tpu.distributed import shard_state
+
+    model = _model()
+    params = model.init(jax.random.PRNGKey(4), jnp.zeros((1, H, W, C_IN)))
+    opt = build_optimizer(cfg, params)
+    loss_fn = WeightedLoss(kind="mse", feature_weights=np.ones(C_OUT, np.float32))
+    mesh = create_mesh(data=4, space=2)
+    with mesh:
+        state, shardings = shard_state(create_train_state(params, opt), mesh,
+                                       fsdp=True, min_size=64)
+        step, _ = make_train_step(model, loss_fn, cfg, opt, donate=False,
+                                  state_shardings=shardings)
+        state, m2 = step(state, shard_batch(batch, mesh), C_COMMON)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
