@@ -346,10 +346,19 @@ def write_constants(reader: _RawReader, out_dir: Path) -> None:
 
 
 def compute_statistics(out_dir: Path, toa_time_stride: int = 1) -> None:
-    """Per-feature mean/std/min/max over all years + TOA radiation stats."""
+    """Per-feature mean/std/min/max over all years + TOA radiation stats.
+
+    Also writes a ``climatology`` group: the per-feature per-gridpoint time
+    mean over the processed years, ``mean [F, H, W]``.  This is the external
+    climatology the forecast scorer's ACC uses (WB2 convention: anomalies
+    against a training-period climatology, not the scored window itself —
+    the reference defers scoring entirely to WB2 tooling, README.md).
+    """
     years = sorted(p for p in Path(out_dir).iterdir() if p.name.isdigit())
     total = None
     count = 0
+    n_frames = 0
+    clim_sum = None
     all_times = []
     for ydir in years:
         g = zarrlite.open_store(ydir)
@@ -366,11 +375,14 @@ def compute_statistics(out_dir: Path, toa_time_stride: int = 1) -> None:
                     "min": np.full(frame.shape[0], np.inf),
                     "max": np.full(frame.shape[0], -np.inf),
                 }
+                clim_sum = np.zeros(frame.shape, np.float64)
             total["sum"] += s.sum(axis=1)
             total["sumsq"] += (s * s).sum(axis=1)
             total["min"] = np.minimum(total["min"], s.min(axis=1))
             total["max"] = np.maximum(total["max"], s.max(axis=1))
             count += s.shape[1]
+            clim_sum += frame
+            n_frames += 1
 
     mean = total["sum"] / count
     var = np.maximum(0.0, total["sumsq"] / count - mean**2)
@@ -394,6 +406,20 @@ def compute_statistics(out_dir: Path, toa_time_stride: int = 1) -> None:
     sg.attrs["toa_radiation_std"] = toa_std
     sg.attrs.save()
     sg.consolidate()
+
+    cg = zarrlite.create_group(Path(out_dir) / "climatology", overwrite=True)
+    cg.create_array("mean", shape=clim_sum.shape, dtype=np.float32,
+                    data=(clim_sum / max(n_frames, 1)).astype(np.float32),
+                    dims=("features", "latitude", "longitude"), overwrite=True)
+    cg.create_array("features", shape=feats.shape, dtype=feats.dtype, data=feats,
+                    dims=("features",), overwrite=True)
+    cg.create_array("latitude", shape=lat.shape, dtype=lat.dtype, data=lat,
+                    dims=("latitude",), overwrite=True)
+    cg.create_array("longitude", shape=lon.shape, dtype=lon.dtype, data=lon,
+                    dims=("longitude",), overwrite=True)
+    cg.attrs["n_frames"] = int(n_frames)
+    cg.attrs.save()
+    cg.consolidate()
 
 
 def compute_tendency_statistics(out_dir: Path, delta_hours: int = 6) -> None:

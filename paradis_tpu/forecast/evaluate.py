@@ -109,21 +109,52 @@ def open_truth(truth_root: str):
     return WB2TruthReader(truth_root)
 
 
+class ClimatologyReader:
+    """Per-feature gridpoint climatology from the preprocessor's group.
+
+    ``compute_statistics`` writes ``<store>/climatology`` with
+    ``mean [F, H, W]`` over the processed (training) years — the external
+    climatology WB2-convention ACC anomalies are taken against.
+    """
+
+    def __init__(self, path: str):
+        g = zarrlite.open_store(path)
+        self._mean = g["mean"]
+        self.features = [str(f) for f in np.asarray(g["features"][...])]
+
+    def field(self, name: str) -> np.ndarray | None:
+        if name not in self.features:
+            return None
+        return np.asarray(self._mean[self.features.index(name)], np.float64)
+
+
 def evaluate_store(forecast_path: str, truth_root: str,
                    variables: list[tuple[str, int | None]],
-                   lead_hours: list[int], acc: bool = True) -> dict:
+                   lead_hours: list[int], acc: bool = True,
+                   climatology: str | None = None) -> dict:
     """RMSE (and ACC) per (variable, lead) over init times with truth.
 
     RMSE is the latitude-weighted WB2 headline deterministic metric.  ACC is
-    the latitude-weighted anomaly correlation, with anomalies taken against a
-    per-variable climatology estimated as the truth's time mean over every
-    target time scored for that variable (WB2 proper uses a 1990–2019
-    day-of-year climatology; with only the evaluation archive available, the
-    scored-window mean is the standard in-sample substitute — documented in
-    the result key).
+    the latitude-weighted anomaly correlation, with anomalies taken against
+    an external per-variable climatology (``climatology`` = path to the
+    preprocessor's ``climatology`` group, computed over the training years —
+    the WB2 convention, which proper uses a 1990–2019 day-of-year
+    climatology).  Without one, ACC falls back to the scored truth window's
+    own time mean — an in-sample estimate that inflates short-window scores;
+    a loud warning marks the results as not WB2-comparable.
     """
     fc = zarrlite.open_store(forecast_path)
     truth = open_truth(truth_root)
+    clim_reader = ClimatologyReader(climatology) if climatology else None
+    if acc and clim_reader is None:
+        import warnings
+
+        warnings.warn(
+            "evaluate_store: no --climatology given; ACC anomalies use the "
+            "scored truth window's own mean (in-sample). Scores are NOT "
+            "WB2-comparable — pass the preprocessor's climatology group.",
+            stacklevel=2,
+        )
     init_times = np.asarray(fc["time"][...]).astype("datetime64[s]")
     tds = np.asarray(fc["prediction_timedelta"][...]).astype("timedelta64[h]")
     levels = [int(l) for l in np.asarray(fc["level"][...])]
@@ -168,9 +199,12 @@ def evaluate_store(forecast_path: str, truth_root: str,
                 mse_sum[lead] = mse_sum.get(lead, 0.0) + float((se * w2).mean())
                 scored.setdefault(lead, []).append((t_i, td_i, target_time))
 
-        # per-variable climatology: time mean of every truth field scored
-        truth_fields = [t for t in truth_cache.values() if t is not None]
-        clim = np.mean(truth_fields, axis=0) if truth_fields else None
+        # per-variable climatology: external (training-years gridpoint mean,
+        # WB2 convention) when available, else the scored window's time mean
+        clim = clim_reader.field(truth_name) if clim_reader else None
+        if clim is None:
+            truth_fields = [t for t in truth_cache.values() if t is not None]
+            clim = np.mean(truth_fields, axis=0) if truth_fields else None
 
         key = f"{var}_h{level}" if level is not None else var
         for lead, items in scored.items():
@@ -204,10 +238,14 @@ def main(argv=None):
     p.add_argument("--variables", nargs="+",
                    default=["geopotential:500", "temperature:850"])
     p.add_argument("--lead-hours", type=int, nargs="+", default=[24, 72, 120])
+    p.add_argument("--climatology", default=None,
+                   help="path to the preprocessor's climatology group; ACC "
+                        "anomalies use it (WB2 convention) instead of the "
+                        "scored window's own mean")
     args = p.parse_args(argv)
     results = evaluate_store(args.forecast, args.truth,
                              [_parse_variable(v) for v in args.variables],
-                             args.lead_hours)
+                             args.lead_hours, climatology=args.climatology)
     print(json.dumps(results, indent=1))
     return results
 

@@ -23,8 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from paradis_tpu.distributed import constrain_spatial
 from paradis_tpu.ops.advection import NeuralSemiLagrangian
-from paradis_tpu.ops.blocks import GMBlock, PhysicalDownsample, SepConv, get_activation
+from paradis_tpu.ops.blocks import (
+    GMBlock,
+    PhysicalDownsample,
+    SepConv,
+    _Depthwise,
+    get_activation,
+)
 from paradis_tpu.ops.resize import periodic_upsample
 from paradis_tpu.sphere.geometry import lonlat_grids
 from paradis_tpu.sphere.padding import geocyclic_pad
@@ -58,6 +65,7 @@ class _LayerLoop(nn.Module):
             hidden, _ = self.layer_cls(name=f"layer_{i}", **self.layer_kwargs)(
                 hidden, hidden_static, lat_grid, lon_grid
             )
+            hidden = constrain_spatial(hidden)
         return hidden, None
 
 
@@ -292,12 +300,13 @@ class Paradis(nn.Module):
             name="input_proj",
         )(fields)
 
+        hidden = constrain_spatial(hidden)
         hidden_static = self._static_encoder(fields[..., -self.n_static :])
 
         skip = hidden
         down = PhysicalDownsample(stride=self.coarsening_factor, name="downsample")
-        hidden = down(hidden)
-        hidden_static = down(hidden_static)
+        hidden = constrain_spatial(down(hidden))
+        hidden_static = constrain_spatial(down(hidden_static))
 
         layer_kwargs = dict(
             hidden_dim=self.hidden_dim,
@@ -370,7 +379,7 @@ class Paradis(nn.Module):
                 hidden, hidden_static, lat_grid, lon_grid
             )
 
-        hidden = periodic_upsample(hidden, H, W) + skip
+        hidden = constrain_spatial(periodic_upsample(hidden, H, W) + skip)
 
         return GMBlock(
             layers=self.output_layers,
@@ -393,26 +402,33 @@ class Paradis(nn.Module):
         SepConv(64, k7) → SiLU → geo-pad(3) + depthwise 7×7 → SiLU →
         SepConv(STATIC_DIM, k5).  Uses torch-default init like the reference
         (these convs sit outside any GMBlock, so kaiming is never applied).
+
+        The bare depthwise conv is the same shift-and-FMA ``_Depthwise``
+        stencil SepConv uses (identical ``kernel``/``bias`` param names and
+        shapes as the grouped ``nn.Conv`` it replaced): grouped-conv grads
+        lower to slow strided fusions on TPU, and under a spatial mesh GSPMD
+        cannot partition ``feature_group_count`` convs over (lat, space) —
+        it was the source of all four "Involuntary full rematerialization"
+        fallbacks in the round-2 multichip dryrun.  The stencil is pure
+        elementwise work and partitions trivially.
         """
         act = get_activation("SiLU")
-        H, W = self.mesh_size
         x = SepConv(64, kernel_size=7, init_mode="torch_default", dtype=self.dtype,
                     name="static_sepconv1")(x)
         x = act(x)
+        x = constrain_spatial(x)
         x = geocyclic_pad(x, 3)
-        x = nn.Conv(
+        x = _Depthwise(
+            kernel_size=7,
             features=64,
-            kernel_size=(7, 7),
-            feature_group_count=64,
-            padding="VALID",
-            use_bias=True,
             kernel_init=nn.initializers.variance_scaling(
                 1.0 / 3.0, mode="fan_in", distribution="uniform"
             ),
+            use_bias=True,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="static_depthwise",
         )(x)
         x = act(x)
+        x = constrain_spatial(x)
         return SepConv(STATIC_DIM, kernel_size=5, init_mode="torch_default",
                        dtype=self.dtype, name="static_sepconv2")(x)

@@ -107,6 +107,8 @@ class _Depthwise(nn.Module):
     kernel_size: int
     features: int
     kernel_init: Any = nn.initializers.lecun_normal()
+    use_bias: bool = False
+    bias_init: Any = nn.initializers.zeros
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -126,7 +128,11 @@ class _Depthwise(nn.Module):
                 term = (xpad[..., i : i + out_h, j : j + out_w, :]
                         * kd[i, j, 0]).astype(jnp.float32)
                 acc = term if acc is None else acc + term
-        return acc.astype(self.dtype)
+        out = acc.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out
 
 
 class SepConv(nn.Module):

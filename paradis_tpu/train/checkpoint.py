@@ -20,6 +20,36 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from paradis_tpu.ops.resize import linear_interp_matrix
+from paradis_tpu.train.sharded_ckpt import (
+    read_sharded_leaves,
+    restore_sharded,
+    save_sharded,
+)
+
+
+def _is_cross_process_sharded(state) -> bool:
+    """True when some leaf's shards live on other processes' devices.
+
+    Replicated multi-host state is NOT cross-process sharded (every process
+    can materialize it alone); FSDP state on >1 process is.
+    """
+    if jax.process_count() == 1:
+        return False
+    for leaf in jax.tree.leaves(state):
+        if (
+            isinstance(leaf, jax.Array)
+            and not leaf.is_fully_addressable
+            and not leaf.is_fully_replicated
+        ):
+            return True
+    return False
+
+
+def _sync(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
 
 
 class CheckpointManager:
@@ -43,10 +73,25 @@ class CheckpointManager:
         / transfer loads; ``load_params`` extracts params from state-only
         checkpoints too).  Step checkpoints skip the duplicate params tree and
         the final disk wait: the device→host transfer happens at save time,
-        disk IO overlaps with training and is fenced at the next save."""
+        disk IO overlaps with training and is fenced at the next save.
+
+        Multi-host FSDP state (cross-process sharded leaves) takes the
+        per-process shard path: EVERY process must call (the Trainer does),
+        each writes only its addressable shards (``sharded_ckpt``), and
+        restore reshards to whatever the restoring topology is."""
+        if _is_cross_process_sharded(state):
+            me = jax.process_index()
+            if me == 0:
+                if path.exists():
+                    shutil.rmtree(path)
+                (path / "state_sharded").mkdir(parents=True)
+            _sync(f"paradis-ckpt-mkdir:{path}")
+            save_sharded(path / "state_sharded", state)
+            _sync(f"paradis-ckpt-state:{path}")
+            return
         if jax.process_count() > 1:
-            # multi-host: process 0 saves alone (Trainer gates the call), so
-            # materialize the replicated state to host numpy first — orbax
+            # multi-host replicated: process 0 saves alone (Trainer gates the
+            # call), so materialize the state to host numpy first — orbax
             # would otherwise try to coordinate the save across processes
             state = jax.tree.map(lambda x: np.asarray(x), state)
         self._ckptr.wait_until_finished()  # fence any in-flight async save
@@ -62,24 +107,27 @@ class CheckpointManager:
         if step % self.step_every != 0 or step == 0:
             return False
         self._save(self.root / "steps" / f"{step:08d}", state, with_params=False)
-        self._write_pointer("last", self.root / "steps" / f"{step:08d}")
-        kept = sorted((self.root / "steps").iterdir())
-        for old in kept[: max(0, len(kept) - self.keep_steps)]:
-            shutil.rmtree(old)
+        if jax.process_index() == 0:
+            self._write_pointer("last", self.root / "steps" / f"{step:08d}")
+            kept = sorted((self.root / "steps").iterdir())
+            for old in kept[: max(0, len(kept) - self.keep_steps)]:
+                shutil.rmtree(old)
         return True
 
     def save_epoch(self, epoch: int, state) -> None:
         self._save(self.root / "epochs" / f"{epoch:04d}", state)
-        self._write_pointer("last", self.root / "epochs" / f"{epoch:04d}")
+        if jax.process_index() == 0:
+            self._write_pointer("last", self.root / "epochs" / f"{epoch:04d}")
 
     def maybe_save_best(self, metric: float, state) -> bool:
         if metric >= self.best_metric:
             return False
         self.best_metric = metric
         self._save(self.root / "best" / "best", state)
-        (self.root / "best" / "metric.json").write_text(
-            json.dumps({"val_loss": float(metric)})
-        )
+        if jax.process_index() == 0:
+            (self.root / "best" / "metric.json").write_text(
+                json.dumps({"val_loss": float(metric)})
+            )
         return True
 
     def _write_pointer(self, name: str, target: Path) -> None:
@@ -109,6 +157,10 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint under {self.root}")
         if (path / "last.json").exists():
             path = Path(json.loads((path / "last.json").read_text())["path"])
+        if (path / "state_sharded").exists():
+            # per-process sharded (multi-host FSDP) checkpoint: reassemble
+            # into target_state's layout (reshards if topology changed)
+            return restore_sharded(path / "state_sharded", target_state)
         if (path / "state").exists():
             path = path / "state"
         return self._ckptr.restore(path.resolve(), target=target_state)
@@ -134,16 +186,20 @@ def load_params(path: str, target_params):
     path = Path(path)
     if (path / "last.json").exists():  # a checkpoints root → follow pointer
         path = Path(json.loads((path / "last.json").read_text())["path"])
-    from_state = False
-    if (path / "params").exists():  # accept a checkpoint dir or its params tree
-        path = path / "params"
-    elif (path / "state").exists():  # state-only (step) checkpoints
-        path = path / "state"
-        from_state = True
-    # restore with relaxed structure: same tree, possibly different leaf shapes
-    loaded = ckptr.restore(path.resolve())
-    if from_state:
-        loaded = loaded["params"]
+    if (path / "state_sharded").exists():  # per-process sharded checkpoint
+        loaded = read_sharded_leaves(path / "state_sharded", target_params,
+                                     prefix=".params")
+    else:
+        from_state = False
+        if (path / "params").exists():  # accept a checkpoint dir or its params tree
+            path = path / "params"
+        elif (path / "state").exists():  # state-only (step) checkpoints
+            path = path / "state"
+            from_state = True
+        # restore with relaxed structure: same tree, maybe different leaf shapes
+        loaded = ckptr.restore(path.resolve())
+        if from_state:
+            loaded = loaded["params"]
 
     t_leaves = jax.tree_util.tree_flatten_with_path(target_params)[0]
     t_map = {jax.tree_util.keystr(k): v for k, v in t_leaves}

@@ -147,7 +147,8 @@ class Trainer:
                 "q_max": float(max(ds.q_max, ds.q_min * 2)),
                 "lat_weights": latitude_weights(ds.lat).astype(np.float32),
             }
-        self.eval_step = make_eval_step(self.model, self.val_loss_fn, cfg, report)
+        self.eval_step = make_eval_step(self.model, self.val_loss_fn, cfg, report,
+                                        mesh=self.mesh)
 
         self.state = create_train_state(params, self.optimizer)
         state_shardings = None
@@ -160,7 +161,8 @@ class Trainer:
                 self.state, self.mesh, fsdp=bool(cfg.compute.get("fsdp", False)))
         self.train_step, _ = make_train_step(self.model, self.loss_fn, cfg,
                                              self.optimizer,
-                                             state_shardings=state_shardings)
+                                             state_shardings=state_shardings,
+                                             mesh=self.mesh)
 
         # -- schedule / checkpoints / logging ----------------------------------
         max_steps = int(cfg.training.max_steps)
@@ -198,6 +200,12 @@ class Trainer:
         self._es_best = float("inf")
         self._es_bad = 0
         self._checkpointing = bool(cfg.training.checkpointing.enabled)
+        # multi-host FSDP state is cross-process sharded: EVERY process must
+        # participate in saves (each writes its own shards — sharded_ckpt);
+        # otherwise only the main process touches the checkpoint directory
+        self._ckpt_all_procs = (
+            jax.process_count() > 1 and bool(cfg.compute.get("fsdp", False))
+        )
 
     # -- loops -----------------------------------------------------------------
 
@@ -282,7 +290,7 @@ class Trainer:
                     })
                     if "grads" in m:
                         self._log_deep_stats(step, m)
-                if self._checkpointing and self.is_main:
+                if self._checkpointing and (self.is_main or self._ckpt_all_procs):
                     self.ckpt.maybe_save_step(step, self._state_dict())
                 if val_every and step and step % int(val_every) == 0:
                     last_val = self._validate(step)
@@ -298,7 +306,7 @@ class Trainer:
                 stop = stop or self._early_stop_check(last_val)
             if self.plateau is not None:
                 self.plateau.update(last_val)
-            if self._checkpointing and self.is_main:
+            if self._checkpointing and (self.is_main or self._ckpt_all_procs):
                 self.ckpt.save_epoch(epoch, self._state_dict())
                 self.ckpt.maybe_save_best(last_val, self._state_dict())
             max_epochs = int(self.cfg.training.max_epochs)

@@ -89,7 +89,8 @@ def _rollout_segment(model_apply, loss_fn, params, dyn_input, targets, forcings,
 
 def make_train_step(model, loss_fn, cfg, optimizer=None,
                     donate: bool = True,
-                    state_shardings=None) -> tuple[Callable, Any]:
+                    state_shardings=None,
+                    mesh=None) -> tuple[Callable, Any]:
     """Build (jitted train_step, optimizer).
 
     ``train_step(state, batch, num_common) -> (state, metrics)`` where
@@ -101,7 +102,14 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
     ``distributed.shard_state(fsdp=True)``) pins the output state's layout so
     FSDP-sharded params/optimizer state stay sharded across steps instead of
     drifting to whatever GSPMD propagation picks.
+
+    ``mesh`` (optional ``jax.sharding.Mesh``) activates the model's in-forward
+    spatial sharding constraints (``distributed.spatial_rules``) while the
+    step is traced, so activations partition consistently over the mesh's
+    ``(lat, space)`` axes.
     """
+    from paradis_tpu.distributed import spatial_rules
+
     n_time = int(cfg.dataset.n_time_inputs)
     grad_accum = int(cfg.training.get("accumulate_grad_batches", 1))
     detach_every = cfg.training.optimizer.get("detach_gradient_every", None)
@@ -113,6 +121,10 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
         return jax.lax.with_sharding_constraint(new_state, state_shardings)
 
     def step_fn(state: TrainState, batch: dict, num_common_features: int):
+        with spatial_rules(mesh):
+            return _step_body(state, batch, num_common_features)
+
+    def _step_body(state: TrainState, batch: dict, num_common_features: int):
         dyn_input = batch["input"]
         targets = batch["target"]
         forcings = batch["forcings"]
@@ -233,7 +245,8 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
 
 
 def make_eval_step(model, loss_fn, cfg,
-                   report: Optional[dict] = None) -> Callable:
+                   report: Optional[dict] = None,
+                   mesh=None) -> Callable:
     """Validation rollout: mean loss + optional denormalized report RMSEs.
 
     ``report`` carries {"indices": [R] output-channel indices, "std": [R]
@@ -267,8 +280,14 @@ def make_eval_step(model, loss_fn, cfg,
             cols.append(col)
         return jnp.stack(cols, axis=-1)
 
+    from paradis_tpu.distributed import spatial_rules
+
     @functools.partial(jax.jit, static_argnums=(2,))
     def eval_fn(params, batch, num_common_features: int):
+        with spatial_rules(mesh):
+            return _eval_body(params, batch, num_common_features)
+
+    def _eval_body(params, batch, num_common_features: int):
         targets = batch["target"]
         constants = batch["constants"]
         S = targets.shape[1]

@@ -1,14 +1,24 @@
-"""Worker process for the 2-process CPU multi-host DP test.
+"""Worker process for the 2-process CPU multi-host DP/FSDP tests.
 
 Run as: python tests/_multihost_worker.py <coordinator> <num_procs> <rank>
+            [mode] [ckpt_dir]
 
 Each process owns 2 virtual CPU devices, the mesh is (data=4, space=1) over
 the 4 global devices, the global batch (B=4) is assembled from per-process
-local slices via ``make_global_batch``, and two NorMuon training steps run on
-the tiny flagship model.  Prints ``LOSS <v0> <v1>`` on success; a
+local slices via ``make_global_batch``, and NorMuon training steps run on
+the tiny flagship model.  Prints ``LOSS <v...>`` on success; a
 single-process run of the same script (num_procs=1, 4 local devices) must
 produce identical losses (reference multi-node DDP equivalence,
 ``train.py:44-49``).
+
+Modes:
+  dp          (default) replicated state, 2 steps.
+  fsdp        ZeRO-3 sharded state, 4 steps (the uninterrupted baseline).
+  fsdp_save   FSDP, 2 steps, then a cross-process sharded checkpoint into
+              <ckpt_dir> (every process writes its shards — sharded_ckpt).
+  fsdp_resume FSDP, restore from <ckpt_dir> (reshard on load), 2 more steps.
+The fsdp_save+fsdp_resume losses must bit-match fsdp's (reference full-resume
+semantics, ``train.py:71-72`` / ``utils/callbacks.py:161-197``).
 """
 
 import os
@@ -17,6 +27,8 @@ import sys
 rank = int(sys.argv[3])
 num_procs = int(sys.argv[2])
 coordinator = sys.argv[1]
+mode = sys.argv[4] if len(sys.argv) > 4 else "dp"
+ckpt_dir = sys.argv[5] if len(sys.argv) > 5 else None
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
@@ -66,12 +78,28 @@ optimizer = build_optimizer(cfg, params)
 loss_fn = WeightedLoss(kind="reversed_huber",
                        feature_weights=np.ones(d["output_dim"], np.float32),
                        lat_weights=None)
-train_step, _ = make_train_step(model, loss_fn, cfg, optimizer, donate=False)
+fsdp = mode.startswith("fsdp")
 
 with mesh:
-    state = replicate(create_train_state(params, optimizer), mesh)
+    base_state = create_train_state(params, optimizer)
+    if fsdp:
+        from paradis_tpu.distributed import shard_state
+
+        state, state_sh = shard_state(base_state, mesh, fsdp=True, min_size=64)
+    else:
+        state, state_sh = replicate(base_state, mesh), None
+    train_step, _ = make_train_step(model, loss_fn, cfg, optimizer,
+                                    donate=False, state_shardings=state_sh,
+                                    mesh=mesh)
+
+    if mode == "fsdp_resume":
+        from paradis_tpu.train.checkpoint import CheckpointManager
+
+        state = CheckpointManager(ckpt_dir).restore(state)
+
+    n_steps = {"dp": 2, "fsdp": 4, "fsdp_save": 2, "fsdp_resume": 2}[mode]
     losses = []
-    for _ in range(2):
+    for _ in range(n_steps):
         if num_procs > 1:
             sl = local_batch_slice(mesh, B)
             local = {k: v[sl] if k in ("input", "target", "forcings", "constants")
@@ -81,5 +109,11 @@ with mesh:
             sharded = shard_batch(batch, mesh)
         state, metrics = train_step(state, sharded, d["n_common"])
         losses.append(float(metrics["loss"]))
+
+    if mode == "fsdp_save":
+        from paradis_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir, step_every=1)
+        assert mgr.maybe_save_step(2, state)
 
 print("LOSS " + " ".join(f"{v:.10f}" for v in losses), flush=True)

@@ -12,6 +12,8 @@ from paradis_tpu.train.loop import Trainer
 
 from fixtures import TOY_LEVELS, TOY_NLAT, TOY_NLON, build_toy_store, toy_config
 
+pytestmark = pytest.mark.slow  # integration-scale; fast lane = -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def store(tmp_path_factory):

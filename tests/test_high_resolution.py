@@ -4,6 +4,8 @@ Exercises geocyclic padding, departure-point math, and the model forward at a
 128x256 grid (channel widths shrunk for CPU), plus the interp backend chooser.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +14,8 @@ from paradis_tpu.model.paradis import Paradis
 from paradis_tpu.ops import advection
 from paradis_tpu.sphere.geometry import equiangular_lat_lon
 from paradis_tpu.sphere.padding import geocyclic_pad
+
+pytestmark = pytest.mark.slow  # integration-scale; fast lane = -m 'not slow'
 
 
 def test_geocyclic_pad_at_quarter_degree_shape():

@@ -65,6 +65,7 @@ def test_bad_mode():
         grid_sample_interp_pallas(field, py, px, "nearest", interpret=True)
 
 
+@pytest.mark.slow
 def test_position_block_accumulation(monkeypatch):
     """Force multiple position blocks: the backward d_field accumulation over
     revisited output blocks must match the single-block result."""
@@ -89,6 +90,7 @@ def test_position_block_accumulation(monkeypatch):
 
 @pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
 @pytest.mark.parametrize("rw", [8, 16])
+@pytest.mark.slow
 def test_chunked_rows_parity(mode, rw):
     """Row-chunked kernels (the large-grid path): forward + all three
     cotangents must match the dense oracle, including the zero-padded row
@@ -117,6 +119,7 @@ def test_chunked_rows_parity(mode, rw):
                                    rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_chunked_skipping_narrow_band(monkeypatch):
     """Positions clustered near their source row: most chunks are skipped by
     the pl.when guard, across multiple position blocks."""

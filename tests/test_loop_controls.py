@@ -39,6 +39,7 @@ def test_early_stop_logic(store, tmp_path_factory):
     assert t2._early_stop_check(float("nan")) is False
 
 
+@pytest.mark.slow
 def test_validation_every_n_steps(store, tmp_path_factory):
     from paradis_tpu.train.loop import Trainer
 
@@ -56,6 +57,7 @@ def test_validation_every_n_steps(store, tmp_path_factory):
     assert 2 in val_steps and 4 in val_steps
 
 
+@pytest.mark.slow
 def test_nan_watchdog_raises(store, tmp_path_factory):
     from paradis_tpu.train.loop import NaNLossError, Trainer
 

@@ -58,6 +58,7 @@ def test_alpha_adv_initial_gate():
     np.testing.assert_allclose(np.asarray(alpha), -1.0)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8, 16, 20)), jnp.float32)
     m1 = tiny_model(gradient_checkpointing=False)
@@ -73,6 +74,7 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_coarsening_factor_roundtrip():
     lat, lon = equiangular_lat_lon(9, 16, include_poles=False)
     m = tiny_model(lat_deg=tuple(lat), lon_deg=tuple(lon), coarsening_factor=2)
@@ -83,6 +85,7 @@ def test_coarsening_factor_roundtrip():
     assert y.shape == (1, 9, 16, 12)
 
 
+@pytest.mark.slow
 def test_bf16_policy():
     m = tiny_model(dtype=jnp.bfloat16)
     x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 8, 16, 20)), jnp.float32)
@@ -115,6 +118,7 @@ def test_wrong_spatial_dims_raises():
         m.init(KEY, x)
 
 
+@pytest.mark.slow
 def test_loop_matches_scan_layer_stack():
     """The Python-loop layer stack (scan_unroll=0, the default) is
     numerically identical to the lax.scan form (scan_unroll=1) and stores

@@ -83,7 +83,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(num_procs: int, timeout: int = 600) -> list[str]:
+def _run_workers(num_procs: int, timeout: int = 600, *extra: str) -> list[str]:
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
@@ -91,7 +91,7 @@ def _run_workers(num_procs: int, timeout: int = 600) -> list[str]:
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "_multihost_worker.py"),
-             f"127.0.0.1:{port}", str(num_procs), str(rank)],
+             f"127.0.0.1:{port}", str(num_procs), str(rank), *extra],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for rank in range(num_procs)
@@ -123,3 +123,24 @@ def test_two_process_training_matches_single():
     s = [float(x) for x in single[0].split()[1:]]
     d = [float(x) for x in double[0].split()[1:]]
     np.testing.assert_allclose(s, d, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_checkpoint_resume_bitmatches(tmp_path):
+    """FSDP train → sharded checkpoint → kill → resume ≡ uninterrupted run.
+
+    Every process writes its own state shards (train/sharded_ckpt.py); the
+    resumed run's losses must BIT-match the uninterrupted run's (reference
+    full-resume semantics, train.py:71-72 / utils/callbacks.py:161-197).
+    """
+    ckpt = str(tmp_path / "ckpt")
+    baseline = _run_workers(2, 600, "fsdp")
+    assert len(set(baseline)) == 1, f"ranks disagree: {baseline}"
+    first = _run_workers(2, 600, "fsdp_save", ckpt)
+    assert len(set(first)) == 1, f"ranks disagree: {first}"
+    resumed = _run_workers(2, 600, "fsdp_resume", ckpt)
+    assert len(set(resumed)) == 1, f"ranks disagree: {resumed}"
+
+    base = baseline[0].split()[1:]
+    got = first[0].split()[1:] + resumed[0].split()[1:]
+    assert got == base, f"resume diverged: {got} vs {base}"

@@ -113,6 +113,7 @@ def test_dp_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pure_spatial_sharding():
     """space=8: longitude fully sharded; halo exchange through GSPMD."""
     batch = _batch(B=2, seed=3)
@@ -121,6 +122,7 @@ def test_pure_spatial_sharding():
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_2d_spatial_sharding():
     """data=2 × lat=2 × space=2: the full DP × 2-D spatial decomposition.
 
@@ -140,6 +142,7 @@ def test_2d_spatial_sharding():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_pure_latitude_sharding():
     batch = _batch(B=2, seed=11)
     s1, m1 = _run_step(None, batch, seed=3)
@@ -156,6 +159,7 @@ def test_shard_batch_layouts():
         DATA_AXIS, None, LAT_AXIS, SPACE_AXIS, None)
 
 
+@pytest.mark.slow
 def test_multi_step_rollout_sharded():
     batch = _batch(B=4, S=3, seed=5)
     _, m = _run_step({"data": 4, "space": 2}, batch)

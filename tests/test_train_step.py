@@ -101,6 +101,7 @@ def test_multi_step_rollout_losses_shape():
     assert metrics["loss_per_step"].shape == (3,)
 
 
+@pytest.mark.slow
 def test_tbptt_matches_full_backprop_value():
     """Losses identical with/without detach; grads differ only via truncation."""
     model, loss = _model(), _loss()
@@ -146,6 +147,7 @@ def test_grad_accumulation_applies_every_n():
     assert float(jnp.abs(jax.tree.leaves(state.accum)[0]).sum()) == 0.0
 
 
+@pytest.mark.slow
 def test_grad_accum_equals_big_batch():
     """Two microbatches of B=1 ≡ one step over their concatenation (B=2)."""
     model, loss = _model(), _loss()

@@ -5,6 +5,8 @@ import pytest
 
 from fixtures import build_toy_store, toy_config
 
+pytestmark = pytest.mark.slow  # integration-scale; fast lane = -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def store(tmp_path_factory):
