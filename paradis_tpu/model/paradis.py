@@ -86,6 +86,7 @@ class PhysicsLayer(nn.Module):
     activation: str = "SiLU"
     interpolation: str = "bicubic"
     advection_impl: str = "auto"
+    fast_trig: bool = False
     velocity_layers: tuple = ("CLinear", "SepConv")
     velocity_hidden: Any = 384
     diffusion_layers: tuple = ("SepConv",)
@@ -132,6 +133,7 @@ class PhysicsLayer(nn.Module):
             up_hidden=self.adv_up_hidden,
             interpolation=self.interpolation,
             impl=self.advection_impl,
+            fast_trig=self.fast_trig,
             dtype=self.dtype,
             name="advection",
         )(hidden, u, v, self.dt, lat_grid, lon_grid)
@@ -186,6 +188,7 @@ class Paradis(nn.Module):
     activation: str = "SiLU"
     interpolation: str = "bicubic"
     advection_impl: str = "auto"
+    fast_trig: bool = False
     coarsening_factor: int = 1
     gradient_checkpointing: bool = False
     # lax.scan unroll factor for the physics layers.  Full unroll (0 = all
@@ -238,6 +241,7 @@ class Paradis(nn.Module):
             activation=cfg.model.activation,
             interpolation=cfg.model.adv_interpolation,
             advection_impl=adv_impl,
+            fast_trig=bool(cfg.compute.get("fast_departure_trig", False)),
             coarsening_factor=cfg.model.get("coarsening_factor", 1),
             gradient_checkpointing=cfg.compute.get("gradient_checkpointing", False),
             scan_unroll=int(cfg.model.get("scan_unroll", 0) or 0),
@@ -318,6 +322,7 @@ class Paradis(nn.Module):
             activation=self.activation,
             interpolation=self.interpolation,
             advection_impl=self.advection_impl,
+            fast_trig=self.fast_trig,
             velocity_layers=self.velocity_layers,
             velocity_hidden=self.velocity_hidden,
             diffusion_layers=self.diffusion_layers,

@@ -39,19 +39,23 @@ def enforce_pole_continuity(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([south, x[..., 1:-1, :, :], north], axis=-3)
 
 
-def departure_pixel_coords(u, v, dt, lat_grid, lon_grid):
+def departure_pixel_coords(u, v, dt, lat_grid, lon_grid,
+                           fast_trig: bool = False):
     """Departure points in pixel units of the *unpadded* grid.
 
     ``u``/``v`` are ``[B, H, W, V]`` latent velocities; ``lat_grid``/
     ``lon_grid`` are ``[H, W]`` radians.  Returns float32 ``(pix_y, pix_x)``
     of the same shape as ``u``.  Matches reference advection.py:131-139.
+    ``fast_trig`` selects the bounded-displacement polynomial sin/cos path
+    (see :func:`rotated_to_latlon`).
     """
     H, W = lat_grid.shape
     lat_g = lat_grid.astype(jnp.float32)[None, :, :, None]
     lon_g = lon_grid.astype(jnp.float32)[None, :, :, None]
     lon_prime = -u.astype(jnp.float32) * dt
     lat_prime = -v.astype(jnp.float32) * dt
-    lat_dep, lon_dep = rotated_to_latlon(lat_prime, lon_prime, lat_g, lon_g)
+    lat_dep, lon_dep = rotated_to_latlon(lat_prime, lon_prime, lat_g, lon_g,
+                                         small_displacement=fast_trig)
 
     # jnp min/max (not python floats): the grids may be traced under jit;
     # XLA constant-folds these when the grids are compile-time constants.
@@ -114,6 +118,7 @@ class NeuralSemiLagrangian(nn.Module):
     up_hidden: int = 0
     interpolation: str = "bicubic"
     impl: str = "auto"
+    fast_trig: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -133,7 +138,8 @@ class NeuralSemiLagrangian(nn.Module):
 
         proj = enforce_pole_continuity(proj)
 
-        pix_y, pix_x = departure_pixel_coords(u, v, dt, lat_grid, lon_grid)
+        pix_y, pix_x = departure_pixel_coords(u, v, dt, lat_grid, lon_grid,
+                                              fast_trig=self.fast_trig)
 
         padded = geocyclic_pad(proj, pad)
         out = interpolate(

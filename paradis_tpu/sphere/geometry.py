@@ -19,7 +19,29 @@ def lonlat_grids(lat_rad: np.ndarray, lon_rad: np.ndarray):
     return np.meshgrid(np.asarray(lat_rad), np.asarray(lon_rad), indexing="ij")
 
 
-def rotated_to_latlon(lat_prime, lon_prime, lat_p, lon_p):
+def _sin_small(x):
+    """sin(x) for |x| ≤ 0.6 rad: degree-7 Taylor, error < 3e-8 (below fp32
+    roundoff of the exact value) — no range reduction."""
+    x2 = x * x
+    return x * (1.0 + x2 * (-1.0 / 6.0 + x2 * (1.0 / 120.0 - x2 / 5040.0)))
+
+
+def _cos_small(x):
+    """cos(x) for |x| ≤ 0.6 rad: degree-8 Taylor, error < 2e-9."""
+    x2 = x * x
+    return 1.0 + x2 * (
+        -0.5 + x2 * (1.0 / 24.0 + x2 * (-1.0 / 720.0 + x2 / 40320.0))
+    )
+
+
+# displacement bound for the fast-trig path, radians: ≈6 grid cells at
+# 5.625° — three times the bicubic halo, far beyond any physical
+# semi-Lagrangian displacement (50 m/s · 6 h ≈ 0.17 rad)
+FAST_TRIG_MAX_RAD = 0.6
+
+
+def rotated_to_latlon(lat_prime, lon_prime, lat_p, lon_p,
+                      small_displacement: bool = False):
     """Map local rotated coordinates back to geographic lat/lon (radians).
 
     Each grid point ``(lat_p, lon_p)`` carries a local frame in which the
@@ -27,11 +49,29 @@ def rotated_to_latlon(lat_prime, lon_prime, lat_p, lon_p):
     geographic coordinates of the displaced (departure) point.  Formulae match
     reference ``model/advection.py:74-98`` including the arcsin clamp and the
     2π longitude wrap.
+
+    ``small_displacement=True`` clamps the displacements to
+    ``±FAST_TRIG_MAX_RAD`` and evaluates their sin/cos with short Taylor
+    polynomials instead of XLA's range-reduced transcendentals — a TPU VPU
+    fast path (the four displacement sin/cos dominate the departure-point
+    cost; grid trig is compile-time constant).  Within the bound the result
+    differs from the exact path by < fp32 roundoff; displacements beyond it
+    are unphysical (and mostly land outside the interpolation halo, where
+    taps are index-clamped anyway).
     """
-    sin_lat_t = jnp.sin(lat_prime)
-    cos_lat_t = jnp.cos(lat_prime)
-    sin_lon_t = jnp.sin(lon_prime)
-    cos_lon_t = jnp.cos(lon_prime)
+    if small_displacement:
+        m = FAST_TRIG_MAX_RAD
+        lat_prime = jnp.clip(lat_prime, -m, m)
+        lon_prime = jnp.clip(lon_prime, -m, m)
+        sin_lat_t = _sin_small(lat_prime)
+        cos_lat_t = _cos_small(lat_prime)
+        sin_lon_t = _sin_small(lon_prime)
+        cos_lon_t = _cos_small(lon_prime)
+    else:
+        sin_lat_t = jnp.sin(lat_prime)
+        cos_lat_t = jnp.cos(lat_prime)
+        sin_lon_t = jnp.sin(lon_prime)
+        cos_lon_t = jnp.cos(lon_prime)
     sin_lat_0 = jnp.sin(lat_p)
     cos_lat_0 = jnp.cos(lat_p)
 

@@ -75,3 +75,43 @@ def test_inverse_lon_spacing_zscored():
     assert abs(f.std(ddof=1) - 1.0) < 1e-10
     # larger 1/distance toward the poles -> larger feature value
     assert f[0, 0] > f[8, 0]
+
+
+def test_fast_trig_matches_exact_within_bound():
+    """small_displacement=True agrees with exact trig to fp32 roundoff for
+    every displacement within FAST_TRIG_MAX_RAD, across all latitudes."""
+    from paradis_tpu.sphere.geometry import FAST_TRIG_MAX_RAD
+
+    rng = np.random.default_rng(0)
+    lat, lon = equiangular_lat_lon(16, 32, include_poles=False)
+    latg, long_ = lonlat_grids(np.deg2rad(lat), np.deg2rad(lon))
+    d_lat = rng.uniform(-FAST_TRIG_MAX_RAD, FAST_TRIG_MAX_RAD, latg.shape)
+    d_lon = rng.uniform(-FAST_TRIG_MAX_RAD, FAST_TRIG_MAX_RAD, latg.shape)
+    d_lat, d_lon = d_lat.astype(np.float32), d_lon.astype(np.float32)
+
+    ex_lat, ex_lon = rotated_to_latlon(d_lat, d_lon, latg, long_)
+    fa_lat, fa_lon = rotated_to_latlon(d_lat, d_lon, latg, long_,
+                                       small_displacement=True)
+    np.testing.assert_allclose(np.asarray(fa_lat), np.asarray(ex_lat), atol=3e-6)
+    # longitude wraps at 2π: compare circular distance
+    dlon = np.abs(np.asarray(fa_lon) - np.asarray(ex_lon))
+    dlon = np.minimum(dlon, 2 * np.pi - dlon)
+    assert dlon.max() < 3e-6
+
+
+def test_fast_trig_clamps_beyond_bound():
+    """Displacements past the bound are clamped to it (not garbage)."""
+    from paradis_tpu.sphere.geometry import FAST_TRIG_MAX_RAD
+
+    lat_p = np.array([[0.2]], np.float32)
+    lon_p = np.array([[1.0]], np.float32)
+    big = np.array([[2.0]], np.float32)
+    z = np.zeros_like(big)
+    got_lat, got_lon = rotated_to_latlon(big, z, lat_p, lon_p,
+                                         small_displacement=True)
+    ref_lat, ref_lon = rotated_to_latlon(
+        np.full_like(big, FAST_TRIG_MAX_RAD), z, lat_p, lon_p)
+    np.testing.assert_allclose(np.asarray(got_lat), np.asarray(ref_lat),
+                               atol=3e-6)
+    np.testing.assert_allclose(np.asarray(got_lon), np.asarray(ref_lon),
+                               atol=3e-6)
