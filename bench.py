@@ -27,6 +27,9 @@ import os
 # batch 1/device is the reference's training configuration (BASELINE.md);
 # PARADIS_BENCH_BATCH overrides for batch-scaling measurements
 BATCH = int(os.environ.get("PARADIS_BENCH_BATCH", "1"))
+# PARADIS_BENCH_LOSS=amse measures the spectral-loss training mode
+# (reference utils/amse_loss.py:13-208, config training.loss_function.type)
+LOSS_KIND = os.environ.get("PARADIS_BENCH_LOSS", "reversed_huber")
 WARMUP_STEPS = 2
 # The axon TPU tunnel adds a ~33 ms RPC round-trip to every host-visible
 # result fetch, so wall-clock over a fixed chain would be latency-dominated.
@@ -71,8 +74,15 @@ def main() -> None:
     n_atmo = len(cfg.features.output.atmospheric) * n_levels
     for i in range(0, n_atmo, n_levels):
         fw[i : i + n_levels] = pw
-    loss_fn = WeightedLoss(kind="reversed_huber", feature_weights=fw,
-                           lat_weights=latitude_weights(lat).astype(np.float32))
+    if LOSS_KIND == "amse":
+        from paradis_tpu.train.amse import AMSELoss
+
+        loss_fn = WeightedLoss(
+            kind="amse", feature_weights=fw,
+            amse=AMSELoss(nlat=H, nlon=W, includes_poles=False))
+    else:
+        loss_fn = WeightedLoss(kind=LOSS_KIND, feature_weights=fw,
+                               lat_weights=latitude_weights(lat).astype(np.float32))
 
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, H, W, d["input_dim"]), jnp.float32))

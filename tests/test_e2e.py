@@ -140,3 +140,26 @@ def test_forecast_writes_wb2_store(trained, store, tmp_path_factory):
     assert np.isfinite(tp[:, 1:]).all()
     # constants copied
     assert "land_sea_mask" in g.arrays()
+
+
+def test_amse_training_loss_decreases(store, tmp_path_factory):
+    """AMSE spectral loss as a first-class training mode (VERDICT r2 #4;
+    reference utils/amse_loss.py:13-208, config training.loss_function)."""
+    log_dir = tmp_path_factory.mktemp("amse_logs")
+    cfg = toy_config(store, **{
+        "training.max_steps": 6,
+        "training.optimizer.name": "adamw",
+        "training.optimizer.lr": 2e-3,
+        "training.scheduler.wsd.warmup": 2,
+        "training.scheduler.wsd.decay": 1,
+        "training.loss_function.type": "amse",
+    })
+    trainer = Trainer(cfg, log_dir=str(log_dir))
+    result = trainer.fit()
+    assert result["steps"] == 6
+    assert np.isfinite(result["val_loss"])
+    rows = (log_dir / "metrics.csv").read_text().strip().splitlines()
+    losses = [float(r.split(",")[2]) for r in rows if ",train_loss," in r]
+    assert len(losses) >= 2
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
