@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from paradis_tpu.distributed import constrain_ns_batch as _constrain_ns_batch
+
 # Quintic Newton–Schulz coefficients (Jordan et al., Muon)
 _NS_COEFFS = (3.4445, -4.7750, 2.0315)
 
@@ -163,6 +165,10 @@ def _orthogonalize_tree(eff, ns_steps: int):
                     z = jnp.pad(z, pads)
                 mats.append(z)
             big = mats[0] if len(mats) == 1 else jnp.concatenate(mats, axis=0)
+            # distributed NorMuon: under an active mesh (train-step trace,
+            # distributed.spatial_rules) each device orthogonalizes its slice
+            # of the stack; identity otherwise
+            big = _constrain_ns_batch(big)
             orth = newton_schulz_batched(big, steps=ns_steps, side=side)
             pos = 0
             for it in bucket:

@@ -84,19 +84,21 @@ def test_mesh_from_config_falls_back():
     assert mesh.shape[DATA_AXIS] == 4
 
 
-def _run_step(mesh_cfg, batch, seed=0):
+def _run_step(mesh_cfg, batch, seed=0, opt_name="adamw", mesh_rules=False):
     cfg = _cfg()
+    cfg.training.optimizer.name = opt_name
     model = _model()
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, H, W, C_IN)))
     opt = build_optimizer(cfg, params)
     loss_fn = WeightedLoss(kind="mse", feature_weights=np.ones(C_OUT, np.float32))
-    step, _ = make_train_step(model, loss_fn, cfg, opt, donate=False)
+    mesh = create_mesh(**mesh_cfg) if mesh_cfg is not None else None
+    step, _ = make_train_step(model, loss_fn, cfg, opt, donate=False,
+                              mesh=mesh if mesh_rules else None)
     state = create_train_state(params, opt)
-    if mesh_cfg is None:
+    if mesh is None:
         state, m = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
                         C_COMMON)
     else:
-        mesh = create_mesh(**mesh_cfg)
         with mesh:
             state = replicate(state, mesh)
             sharded = shard_batch(batch, mesh)
@@ -157,6 +159,23 @@ def test_shard_batch_layouts():
     assert batch["input"].sharding.spec == sh["input"].spec
     assert batch["target"].sharding.spec == P(
         DATA_AXIS, None, LAT_AXIS, SPACE_AXIS, None)
+
+
+@pytest.mark.slow
+def test_distributed_normuon_matches_single_device():
+    """Distributed NorMuon (VERDICT r2 #8): the bucketed Newton–Schulz
+    stacks shard over every mesh axis (``distributed.constrain_ns_batch``)
+    so each device orthogonalizes its slice; the partitioned update must
+    match the single-device optimizer."""
+    batch = _batch(B=4, seed=13)
+    s1, m1 = _run_step(None, batch, seed=4, opt_name="normuon")
+    s2, m2 = _run_step({"data": 4, "space": 2}, batch, seed=4,
+                       opt_name="normuon", mesh_rules=True)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # atol 3e-5 as in test_2d_spatial_sharding: bf16 NS amplifies the
+    # partitioned program's last-ulp re-associations before params update
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
 @pytest.mark.slow
