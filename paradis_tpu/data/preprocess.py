@@ -72,6 +72,20 @@ KEEP_STATIC = [
 # the same container format the genuine WB2 archives use.
 COMPRESSOR = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}
 
+# Training-store codec presets (--codec).  lq16/lq8 are the lossy per-layer
+# quantizer (zarrlite `lq`) standing in for the reference's external
+# LayerQuantizer (scripts/preprocess_dataset.py:11-15): each feature's
+# spatial plane quantized against its own range, Blosc-zstd payload.
+# Applied to the stacked `data` arrays only — stats/constants stay lossless
+# (they feed normalization; quantizing them would bias every sample).
+CODECS = {
+    "lz4": COMPRESSOR,
+    "zstd": {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1},
+    "zlib": {"id": "zlib", "level": 1},
+    "lq16": {"id": "lq", "bits": 16, "cname": "zstd", "clevel": 5, "shuffle": 1},
+    "lq8": {"id": "lq", "bits": 8, "cname": "zstd", "clevel": 5, "shuffle": 1},
+}
+
 
 def cartesian_wind_3d(u, v, w_omega, temperature, levels_pa, lat_rad, lon_rad):
     """(u, v, ω) → Cartesian (wind_x, wind_y, wind_z).
@@ -263,7 +277,8 @@ def _assemble_timestep(reader: _RawReader, t: int, levels: list[int],
 
 
 def stack_years(reader: _RawReader, out_dir: Path, levels: list[int],
-                begin_year: int | None = None, end_year: int | None = None) -> list[str]:
+                begin_year: int | None = None, end_year: int | None = None,
+                codec: str = "lz4") -> list[str]:
     """Write per-year stacked stores; returns the ordered feature names."""
     level_sel = np.asarray([int(np.where(reader.levels == l)[0][0]) for l in levels])
     lat_rad = np.deg2rad(reader.lat)[:, None]
@@ -283,7 +298,7 @@ def stack_years(reader: _RawReader, out_dir: Path, levels: list[int],
         data = g.create_array(
             "data", shape=(len(t_idx), len(feats), H, W),
             chunks=(1, len(feats), H, W), dtype=np.float32,
-            compressor=COMPRESSOR,
+            compressor=CODECS[codec],
             dims=("time", "features", "latitude", "longitude"), overwrite=True,
         )
         for row, t in enumerate(t_idx):
@@ -483,7 +498,7 @@ def preprocess(input_dir: str, output_dir: str, levels=None,
                begin_year: int | None = None, end_year: int | None = None,
                skip_stats: bool = False, only_stats: bool = False,
                toa_time_stride: int = 1, remove_poles: bool = False,
-               interp_deg: float = 0.0) -> None:
+               interp_deg: float = 0.0, codec: str = "lz4") -> None:
     reader = _RawReader(input_dir, remove_poles=remove_poles,
                         interp_deg=interp_deg)
     out = Path(output_dir)
@@ -495,7 +510,7 @@ def preprocess(input_dir: str, output_dir: str, levels=None,
     elif levels == 37:
         levels = LEVELS_37
     if not only_stats:
-        stack_years(reader, out, list(levels), begin_year, end_year)
+        stack_years(reader, out, list(levels), begin_year, end_year, codec=codec)
     if not skip_stats:
         write_constants(reader, out)
         compute_statistics(out, toa_time_stride=toa_time_stride)
@@ -517,12 +532,16 @@ def main():
                    help="drop the ±90° latitude rows")
     p.add_argument("--interp_deg", type=float, default=0.0,
                    help="regrid to this resolution in degrees")
+    p.add_argument("--codec", choices=sorted(CODECS), default="lz4",
+                   help="training-store codec; lq16/lq8 are the lossy "
+                        "per-layer quantizer (LayerQuantizer equivalent)")
     args = p.parse_args()
     if args.skip_stats and args.only_stats:
         p.error("--skip-stats and --only-stats cannot both be used")
     preprocess(args.input_dir, args.output_dir, args.levels, args.begin_year,
                args.end_year, args.skip_stats, args.only_stats,
-               args.toa_time_stride, args.remove_poles, args.interp_deg)
+               args.toa_time_stride, args.remove_poles, args.interp_deg,
+               codec=args.codec)
 
 
 if __name__ == "__main__":

@@ -8,8 +8,11 @@ implementation of the subset it needs:
 
   * arrays: C-order chunks, any numpy dtype, arbitrary-region read/write,
     fill-value-backed missing chunks;
-  * codecs: raw, zlib (stdlib), and the BitRound mantissa filter the
-    reference uses for forecast stores (``utils/file_output.py:14-28``);
+  * codecs: raw, zlib (stdlib), Blosc (in-repo), the BitRound mantissa
+    filter the reference uses for forecast stores
+    (``utils/file_output.py:14-28``), and ``lq`` — the lossy per-layer
+    quantizer equivalent to the reference's external LayerQuantizer
+    training-store codec (``scripts/preprocess_dataset.py:11-15``);
   * groups, JSON attrs, consolidated ``.zmetadata``;
   * xarray-compatible ``_ARRAY_DIMENSIONS`` attributes.
 
@@ -52,6 +55,72 @@ def _bitround(buf: np.ndarray, keepbits: int) -> np.ndarray:
     return bits.view(np.float32)
 
 
+_LQ_MAGIC = b"LQ01"
+
+
+def _lq_encode(data: np.ndarray, comp: dict) -> bytes:
+    """Per-layer lossy quantization (the LayerQuantizer-equivalent codec).
+
+    The reference writes training stores through the external LayerQuantizer
+    numcodecs codec with the spatial dims moved last
+    (``scripts/preprocess_dataset.py:11-15,304-305``); the package is not
+    retrievable here, so this is an independent design with the same contract:
+    each trailing-2D spatial plane ("layer") of the chunk is linearly
+    quantized to ``bits`` (8..16) unsigned ints against its own min/max, and
+    the int payload is Blosc-compressed (zstd + byte shuffle by default).
+    Worst-case absolute error per layer is ``(max-min)/(2^bits-1)/2`` —
+    at 16 bits, 7.6e-6 of the layer's dynamic range, comparable to the
+    BitRound(16) the forecast stores use, at roughly half the pre-entropy
+    bytes.  Finite data only (quantization has no NaN/Inf encoding — loudly
+    rejected rather than silently corrupted).
+    """
+    from paradis_tpu.data import blosc
+
+    bits = int(comp.get("bits", 16))
+    if not 2 <= bits <= 16:
+        raise ValueError(f"lq codec supports 2..16 bits, got {bits}")
+    data = np.ascontiguousarray(data, np.float32)
+    plane = data.shape[-1] if data.ndim == 1 else data.shape[-2] * data.shape[-1]
+    if not np.isfinite(data).all():
+        raise ValueError("lq codec requires finite data")
+    # float64 quantization math: encode runs once offline, and fp32
+    # (flat-lo)*inv would leak rounding past the half-step bound at
+    # geopotential-scale offsets; decode stays fp32 (the hot loader path —
+    # its residual is the output dtype's own ulp, unavoidable)
+    flat = data.reshape(-1, plane).astype(np.float64)
+    lo = flat.min(axis=1)
+    scale = (flat.max(axis=1) - lo) / float((1 << bits) - 1)
+    inv = np.where(scale > 0, 1.0 / np.where(scale > 0, scale, 1.0), 0.0)
+    qdtype = np.dtype(np.uint8 if bits <= 8 else np.uint16)
+    q = np.rint((flat - lo[:, None]) * inv[:, None]).astype(qdtype)
+    header = (_LQ_MAGIC + np.uint32(flat.shape[0]).tobytes()
+              + lo.astype(np.float32).tobytes()
+              + scale.astype(np.float32).tobytes())
+    payload = blosc.encode(
+        q.tobytes(), typesize=qdtype.itemsize,
+        cname=comp.get("cname", "zstd"), clevel=int(comp.get("clevel", 5)),
+        shuffle=int(comp.get("shuffle", blosc.SHUFFLE)),
+        blocksize=int(comp.get("blocksize", 0)))
+    return header + payload
+
+
+def _lq_decode(blob: bytes, shape: tuple, dtype: np.dtype, comp: dict) -> np.ndarray:
+    from paradis_tpu.data import blosc
+
+    if blob[:4] != _LQ_MAGIC:
+        raise ValueError("lq chunk: bad magic")
+    n = int(np.frombuffer(blob, np.uint32, count=1, offset=4)[0])
+    lo = np.frombuffer(blob, np.float32, count=n, offset=8)
+    scale = np.frombuffer(blob, np.float32, count=n, offset=8 + 4 * n)
+    bits = int(comp.get("bits", 16))
+    qdtype = np.dtype(np.uint8 if bits <= 8 else np.uint16)
+    nelem = int(np.prod(shape))
+    raw = blosc.decode(blob[8 + 8 * n:], nelem * qdtype.itemsize)
+    q = np.frombuffer(raw, qdtype).astype(np.float32).reshape(n, -1)
+    out = q * scale[:, None] + lo[:, None]
+    return out.reshape(shape).astype(dtype, copy=False)
+
+
 def _encode(chunk: np.ndarray, compressor: dict | None, filters: list | None) -> bytes:
     data = np.ascontiguousarray(chunk)
     if filters:
@@ -60,6 +129,8 @@ def _encode(chunk: np.ndarray, compressor: dict | None, filters: list | None) ->
                 data = _bitround(data.astype(np.float32), int(f["keepbits"]))
             else:
                 raise ValueError(f"unsupported filter {f['id']!r}")
+    if compressor is not None and compressor["id"] == "lq":
+        return _lq_encode(data, compressor)
     raw = data.tobytes()
     if compressor is None:
         return raw
@@ -82,6 +153,8 @@ def _encode(chunk: np.ndarray, compressor: dict | None, filters: list | None) ->
 def _decode(blob: bytes, shape: tuple, dtype: np.dtype,
             compressor: dict | None, filters: list | None) -> np.ndarray:
     if compressor is not None:
+        if compressor["id"] == "lq":
+            return _lq_decode(blob, shape, dtype, compressor)
         if compressor["id"] == "zlib":
             blob = zlib.decompress(blob)
         elif compressor["id"] == "blosc":

@@ -82,3 +82,30 @@ def test_13_level_preset_selects_subset(tmp_path):
                   if f.startswith("geopotential_h"))
     assert geos == sorted(LEVELS_13)
     assert not any(f.endswith("_h775") or f.endswith("_h875") for f in feats)
+
+
+def test_lq16_codec_store_matches_lossless(tmp_path):
+    """--codec lq16 (LayerQuantizer equivalent, reference
+    scripts/preprocess_dataset.py:11-15): the lossy training store matches
+    the lossless one to the per-layer quantization bound and is smaller."""
+    from paradis_tpu.data.synthetic import build_raw_store
+
+    build_raw_store(str(tmp_path / "raw"), nlat=8, nlon=16, n_times=4,
+                    levels=(500, 1000))
+    preprocess(str(tmp_path / "raw"), str(tmp_path / "lossless"),
+               toa_time_stride=2)
+    preprocess(str(tmp_path / "raw"), str(tmp_path / "lossy"),
+               toa_time_stride=2, codec="lq16")
+    exact = zarrlite.open_store(tmp_path / "lossless" / "2000")["data"][...]
+    lossy = zarrlite.open_store(tmp_path / "lossy" / "2000")["data"][...]
+    step = (exact.max(axis=(2, 3)) - exact.min(axis=(2, 3))) / (2**16 - 1)
+    # + fp32 reconstruction ulp (large-offset fields, e.g. geopotential)
+    ulp = np.spacing(np.abs(exact).max(axis=(2, 3)))
+    err = np.abs(lossy - exact).max(axis=(2, 3))
+    assert np.all(err <= step * 0.5 + 4 * ulp)
+
+    def store_bytes(root):
+        return sum(p.stat().st_size
+                   for p in (root / "2000" / "data").rglob("*") if p.is_file())
+
+    assert store_bytes(tmp_path / "lossy") < store_bytes(tmp_path / "lossless")

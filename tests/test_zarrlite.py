@@ -89,3 +89,51 @@ def test_array_dims_attr(tmp_path):
                                 dims=("latitude", "longitude"))
     assert zarrlite.Array(tmp_path / "d").attrs["_ARRAY_DIMENSIONS"] == [
         "latitude", "longitude"]
+
+
+def test_lq_codec_roundtrip_error_bound(tmp_path):
+    """lq (LayerQuantizer equivalent): per-layer quantization error is
+    bounded by half a quantization step of each layer's own range
+    (reference codec: scripts/preprocess_dataset.py:11-15)."""
+    rng = np.random.default_rng(1)
+    # layers with wildly different scales — per-layer scaling must hold
+    data = np.stack([
+        rng.normal(0.0, 1.0, (8, 12)),
+        rng.normal(5e4, 3e3, (8, 12)),
+        rng.normal(-7e-3, 1e-4, (8, 12)),
+    ]).astype(np.float32)[None]  # [1, F, H, W] like a training chunk
+    for bits in (8, 16):
+        comp = {"id": "lq", "bits": bits, "cname": "zstd", "clevel": 5,
+                "shuffle": 1}
+        arr = zarrlite.create_array(tmp_path / f"a{bits}", shape=data.shape,
+                                    chunks=data.shape, dtype=np.float32,
+                                    compressor=comp, data=data)
+        got = zarrlite.Array(tmp_path / f"a{bits}")[...]
+        step = (data.max(axis=(2, 3)) - data.min(axis=(2, 3))) / (2**bits - 1)
+        # + fp32 reconstruction ulp: q*scale + lo rounds at ulp(|value|)
+        ulp = np.spacing(np.abs(data).max(axis=(2, 3)).astype(np.float32))
+        err = np.abs(got - data).max(axis=(2, 3))
+        assert np.all(err <= step * 0.5 + 4 * ulp), (bits, err / step)
+
+
+def test_lq_codec_constant_layer_and_size(tmp_path):
+    data = np.concatenate([
+        np.full((1, 16, 16), 3.25, np.float32),           # constant layer
+        np.random.default_rng(2).normal(size=(4, 16, 16)).astype(np.float32),
+    ])
+    arr = zarrlite.create_array(tmp_path / "a", shape=data.shape,
+                                chunks=data.shape, dtype=np.float32,
+                                compressor={"id": "lq", "bits": 16}, data=data)
+    got = zarrlite.Array(tmp_path / "a")[...]
+    np.testing.assert_array_equal(got[0], data[0])  # scale=0 layer exact
+    chunk = tmp_path / "a" / "0.0.0"
+    assert chunk.stat().st_size < data.nbytes * 0.6  # lossy => smaller store
+
+
+def test_lq_codec_rejects_nonfinite(tmp_path):
+    bad = np.array([[1.0, np.nan], [0.0, 2.0]], np.float32)
+    arr = zarrlite.create_array(tmp_path / "a", shape=bad.shape,
+                                chunks=bad.shape, dtype=np.float32,
+                                compressor={"id": "lq", "bits": 16})
+    with pytest.raises(ValueError, match="finite"):
+        arr[...] = bad
