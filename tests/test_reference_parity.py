@@ -54,6 +54,9 @@ def _cfg():
     cfg.features.input.constants = [f"c{i}" for i in range(N_STATIC - 2)] + [
         "latitude", "longitude"]
     cfg.compute.use_amp = False
+    # parity is against the reference's EXACT departure-point trig; the
+    # fast-trig default (configs/default.yaml) differs by up to ~6e-5
+    cfg.compute.fast_departure_trig = False
     return cfg
 
 
