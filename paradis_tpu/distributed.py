@@ -85,11 +85,21 @@ def constrain_ns_batch(x):
     mesh = _SPATIAL_MESH.get()
     if mesh is None or getattr(x, "ndim", 0) != 3 or x.shape[0] < 2:
         return x
-    axes = tuple(a for a in mesh.axis_names if mesh.shape[a] > 1)
+    # Take the largest axis prefix whose product divides the stack: GSPMD
+    # pads uneven tilings, but resharding a padded all-axes tiling back to
+    # the FSDP leaf layouts falls into replicate-then-partition warnings
+    # ("Involuntary full rematerialization") on small stacks — sharding
+    # only what divides keeps every transition a clean collective.
+    axes = []
+    ways = 1
+    for a in mesh.axis_names:
+        if mesh.shape[a] > 1 and x.shape[0] % (ways * mesh.shape[a]) == 0:
+            axes.append(a)
+            ways *= mesh.shape[a]
     if not axes:
         return x
     return jax.lax.with_sharding_constraint(
-        x, NamedSharding(mesh, P(axes, None, None)))
+        x, NamedSharding(mesh, P(tuple(axes), None, None)))
 
 
 def constrain_spatial(x):
