@@ -16,6 +16,7 @@ policy) with float32 parameters.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -345,10 +346,37 @@ class Paradis(nn.Module):
             # fully unrolled: Python loop, but stored params keep the scan's
             # stacked [L, ...] layout via map_variables (see _LayerLoop)
             # trans fns see {"params": <module tree>}
+            cdt = self.dtype
+            # init round-trips created params through trans_in_fn: keep the
+            # cast out of that path so stored params stay fp32
+            initializing = self.is_mutable_collection("params")
+            # PARADIS_PRECAST=0 restores per-layer in-module casts (chip A/B)
+            enabled = os.environ.get("PARADIS_PRECAST", "1") != "0"
+
+            def _precast(path, x):
+                if initializing or not enabled:
+                    return x
+                # Hoisted compute-dtype cast: one astype per STACKED leaf
+                # instead of one per layer slice (the unrolled loop's
+                # per-layer bias/kernel casts were ~90 sub-20 us ops, ~2 ms
+                # of pure op-count tax on the device profile).  Skip every
+                # leaf that is consumed in fp32 so numerics are untouched:
+                # ChannelNorm (named pre_norm / layerN_ChannelNorm) and
+                # GlobalBias apply params at fp32, and alpha_adv goes through
+                # a fp32 sigmoid (PhysicsLayer:121-124).  Everything else
+                # (Dense / _Depthwise kernels+biases) is cast to compute
+                # dtype at use anyway.
+                keys = [getattr(k, "key", "") for k in path]
+                if any("ChannelNorm" in k or "GlobalBias" in k
+                       or k in ("pre_norm", "alpha_adv") for k in keys):
+                    return x
+                return x.astype(cdt)
+
             def _split(cols):
                 tree = cols.get("params", {})
                 if not tree:
                     return cols
+                tree = jax.tree_util.tree_map_with_path(_precast, tree)
                 split = {
                     f"layer_{i}": jax.tree.map(lambda x: x[i], tree)
                     for i in range(L)

@@ -207,6 +207,115 @@ def make_variants():
 
     out["mmT_bf16_vb8"] = mmT_only(jnp.bfloat16, 8, 1024)
 
+    # ---- backward-split microbenches -------------------------------------
+    # Decompose the bwd kernel's ~1.02 ms/layer into its derivative
+    # weight-gen (VPU) and dot/reduce (MXU+VPU) phases, at the REAL bwd
+    # blocking (pb from _pick_pb(bwd=True)), to measure whether Mosaic
+    # overlaps the phases (full bwd << gen + mm) or serializes them
+    # (full bwd ≈ gen + mm) — the 3 ms ledger gap hinges on this.
+    from paradis_tpu.ops.interp_pallas import _pick_pb
+
+    vb_b = 8
+    pb_b = _pick_pb(H * W, vb_b, R, C, bwd=True, rw=0)
+
+    def bwd_gen_kernel(py_ref, px_ref, out_ref):
+        wx, dwx = _weights_T(px_ref[0], C, MODE, derivative=True)
+        wy, dwy = _weights_T(py_ref[0], R, MODE, derivative=True)
+        out_ref[0] = (jnp.sum(wx, axis=1) + jnp.sum(dwx, axis=1)
+                      + jnp.sum(wy, axis=1) + jnp.sum(dwy, axis=1))
+
+    def bwd_gen(py_t, px_t):
+        P = py_t.shape[-1]
+        grid = (B, V // vb_b, P // pb_b)
+        return pl.pallas_call(
+            bwd_gen_kernel,
+            out_shape=jax.ShapeDtypeStruct((B, V, P), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, vb_b, pb_b), lambda b, v, p: (b, v, p)),
+                pl.BlockSpec((1, vb_b, pb_b), lambda b, v, p: (b, v, p)),
+            ],
+            out_specs=pl.BlockSpec((1, vb_b, pb_b), lambda b, v, p: (b, v, p)),
+        )(py_t, px_t)
+
+    @jax.jit
+    def bwd_gen_step(carry, py_t, px_t):
+        o = bwd_gen(py_t + carry * 1e-30, px_t)
+        return jnp.sum(o) * 1e-30
+
+    out["bwd_genonly"] = (bwd_gen_step, (jnp.float32(0.0), py_t, px_t))
+
+    def bwd_mm_kernel(field_ref, py_ref, px_ref, g_ref,
+                      dfield_ref, dpy_ref, dpx_ref, *, cdt):
+        R_, C_ = field_ref.shape[-2], field_ref.shape[-1]
+        P_ = py_ref.shape[-1]
+        vb = py_ref.shape[1]
+        py2 = py_ref[0]
+        px2 = px_ref[0]
+        g2 = g_ref[0]
+        f = field_ref[0].astype(cdt)
+        # near-free stand-in weights (~1 VPU op/elem instead of the ~20-op
+        # derivative select-LUT pair): isolates the dots + reduces
+        # Mosaic only lowers integer iota: build int32 and convert
+        wy = py2[:, None, :] * jax.lax.broadcasted_iota(
+            jnp.int32, (vb, R_, P_), 1).astype(jnp.float32)
+        dwy = wy * 0.5
+        wxa = px2[:, None, :] * jax.lax.broadcasted_iota(
+            jnp.int32, (vb, C_, P_), 1).astype(jnp.float32)
+        wx2 = jnp.concatenate([wxa, wxa * 0.5], axis=-1).astype(cdt)
+        tt = jax.lax.dot_general(f, wx2, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dpy_ref[0] = g2 * jnp.sum(dwy * tt[..., :P_], axis=1)
+        dpx_ref[0] = g2 * jnp.sum(wy * tt[..., P_:], axis=1)
+        wyg = (wy * g2[:, None, :]).astype(cdt)
+        partial = jax.lax.dot_general(
+            wyg, wx2[..., :P_], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            dfield_ref[0] = partial
+
+        @pl.when(pl.program_id(2) != 0)
+        def _():
+            dfield_ref[0] = dfield_ref[0] + partial
+
+    def bwd_mm(field_t, py_t2, px_t2, g_t):
+        P = py_t2.shape[-1]
+        grid = (B, V // vb_b, P // pb_b)
+        dfield, dpy, dpx = pl.pallas_call(
+            functools.partial(bwd_mm_kernel, cdt=jnp.bfloat16),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, V, R, C), jnp.float32),
+                jax.ShapeDtypeStruct((B, V, P), jnp.float32),
+                jax.ShapeDtypeStruct((B, V, P), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, vb_b, R, C), lambda b, v, p: (b, v, 0, 0)),
+                pl.BlockSpec((1, vb_b, pb_b), lambda b, v, p: (b, v, p)),
+                pl.BlockSpec((1, vb_b, pb_b), lambda b, v, p: (b, v, p)),
+                pl.BlockSpec((1, vb_b, pb_b), lambda b, v, p: (b, v, p)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, vb_b, R, C), lambda b, v, p: (b, v, 0, 0)),
+                pl.BlockSpec((1, vb_b, pb_b), lambda b, v, p: (b, v, p)),
+                pl.BlockSpec((1, vb_b, pb_b), lambda b, v, p: (b, v, p)),
+            ),
+        )(field_t, py_t2, px_t2, g_t)
+        return dfield, dpy, dpx
+
+    field_t = jnp.moveaxis(field.reshape(B, R, C, V), -1, 1)
+    g_t = jnp.ones((B, V, H * W), jnp.float32)
+
+    @jax.jit
+    def bwd_mm_step(carry, field_t, py_t, px_t, g_t):
+        df, dy, dx = bwd_mm(field_t, py_t + carry * 1e-30, px_t, g_t)
+        return (jnp.sum(df) + jnp.sum(dy) + jnp.sum(dx)) * 1e-30
+
+    out["bwd_mmonly"] = (bwd_mm_step,
+                         (jnp.float32(0.0), field_t, py_t, px_t, g_t))
+
     return out
 
 

@@ -148,3 +148,56 @@ def test_loop_matches_scan_layer_stack():
     for a, b in zip(jax.tree.leaves(g_loop), jax.tree.leaves(g_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_bf16_precast_skips_fp32_consumers():
+    """The hoisted compute-dtype pre-cast in the unrolled layer loop
+    (model/paradis.py _precast) must leave every fp32-consumed leaf alone
+    (ChannelNorm incl. the GMBlock ``pre_norm``, GlobalBias, alpha_adv)
+    while genuinely pre-casting the Dense/depthwise leaves.
+
+    Probe: perturb a leaf by less than half a bf16 ulp of its value.  If the
+    leaf is pre-cast to bf16 the perturbation is swallowed and the output is
+    bit-identical; if it is consumed at fp32 the output must change.
+    """
+    m = tiny_model(dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(1, 8, 16, 20)),
+                    jnp.float32)
+    params = m.init(KEY, x)
+
+    def with_leaf(path_keys, fn):
+        p = jax.tree.map(lambda a: a, params)  # shallow-copy-safe rebuild
+        node = p["params"]["layers"]
+        for k in path_keys[:-1]:
+            node = node[k]
+        node[path_keys[-1]] = fn(node[path_keys[-1]])
+        return p
+
+    y0 = np.asarray(m.apply(params, x))
+
+    # fp32 consumers: a sub-bf16-ulp nudge MUST reach the output
+    path = ("diffusion", "pre_norm", "weight")
+    yp = np.asarray(m.apply(with_leaf(path, lambda a: a + 1.5e-3), x))
+    assert (yp != y0).any(), f"{path}: fp32 leaf was pre-cast to bf16"
+
+    # alpha_adv feeds a fp32 sigmoid whose result is then cast to bf16, so
+    # the probe base/delta are picked so the fp32 gate crosses a bf16
+    # rounding boundary while the alpha itself rounds back to the base:
+    # bf16(-0.992188 + 0.00175781) == -0.992188 but
+    # bf16(sigmoid32(-0.992188)) = 0.269531 != 0.271484 = bf16(sigmoid32(+d))
+    base = with_leaf(("alpha_adv",), lambda a: jnp.full_like(a, -0.992188))
+    ya = np.asarray(m.apply(base, x))
+    pert = with_leaf(("alpha_adv",),
+                     lambda a: jnp.full_like(a, -0.992188 + 0.00175781))
+    yb = np.asarray(m.apply(pert, x))
+    assert (ya != yb).any(), "alpha_adv: fp32 leaf was pre-cast to bf16"
+
+    # compute-dtype consumer: the same nudge around an exactly-representable
+    # value MUST be swallowed by the (hoisted) bf16 cast
+    base = with_leaf(("diffusion", "layer0_SepConv", "pointwise", "kernel"),
+                     lambda a: jnp.full_like(a, 0.5))
+    ya = np.asarray(m.apply(base, x))
+    pert = with_leaf(("diffusion", "layer0_SepConv", "pointwise", "kernel"),
+                     lambda a: jnp.full_like(a, 0.5 + 1.0e-4))
+    yb = np.asarray(m.apply(pert, x))
+    np.testing.assert_array_equal(ya, yb)
