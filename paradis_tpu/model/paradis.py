@@ -38,6 +38,35 @@ from paradis_tpu.sphere.geometry import lonlat_grids
 from paradis_tpu.sphere.padding import geocyclic_pad
 
 EARTH_ROTATION_RATE = 7.29212e-5  # rad/s (reference model/paradis.py:13-14)
+
+
+def _remat_policy(name: str):
+    """Map ``compute.remat_policy`` to a jax.checkpoint saveable policy.
+
+    Only meaningful with ``gradient_checkpointing=true`` (i.e. the 1.40625°
+    HBM-fit configuration).  Full remat replays the whole physics layer in
+    the backward pass, which recomputes the advection gather-interpolate
+    forward — the hottest VPU-bound op at high resolution — purely to feed
+    downstream recomputation.  Policies:
+
+      * ``none``   — classic full remat (default; minimum HBM),
+      * ``advect`` — save the interp output (named ``advect_interp`` in
+        ops/advection.py): backward replay skips the 8 interp forwards at
+        the cost of one [B,H,W,V] bf16 activation per layer (~48 MB/layer
+        at 1.40625°),
+      * ``advect_pos`` — additionally save the fp32 departure positions
+        (``advect_pos``): replay also skips the velocity-net forward and
+        the departure trig, at ~200 MB/layer more.
+    """
+    if name in ("", "none", None):
+        return None
+    if name == "advect":
+        return jax.checkpoint_policies.save_only_these_names("advect_interp")
+    if name == "advect_pos":
+        return jax.checkpoint_policies.save_only_these_names(
+            "advect_interp", "advect_pos")
+    raise ValueError(
+        f"compute.remat_policy must be none|advect|advect_pos, got {name!r}")
 STATIC_DIM = 128  # static-encoder output width (reference model/paradis.py:83)
 
 
@@ -192,6 +221,8 @@ class Paradis(nn.Module):
     fast_trig: bool = False
     coarsening_factor: int = 1
     gradient_checkpointing: bool = False
+    # remat offload policy (see _remat_policy); PARADIS_REMAT_POLICY overrides
+    remat_policy: str = "none"
     # lax.scan unroll factor for the physics layers.  Full unroll (0 = all
     # layers) removes the scan's residual-stacking dynamic-update-slices,
     # which cost ~20 ms/step at 5.625° (measured via device profile); the
@@ -245,6 +276,7 @@ class Paradis(nn.Module):
             fast_trig=bool(cfg.compute.get("fast_departure_trig", False)),
             coarsening_factor=cfg.model.get("coarsening_factor", 1),
             gradient_checkpointing=cfg.compute.get("gradient_checkpointing", False),
+            remat_policy=str(cfg.compute.get("remat_policy", "none") or "none"),
             scan_unroll=int(cfg.model.get("scan_unroll", 0) or 0),
             input_layers=tuple(pb.input_proj.layers),
             input_hidden=pb.input_proj.hidden_dim,
@@ -339,7 +371,10 @@ class Paradis(nn.Module):
 
         layer_cls = PhysicsLayer
         if self.gradient_checkpointing:
-            layer_cls = nn.remat(PhysicsLayer, prevent_cse=False)
+            policy = _remat_policy(
+                os.environ.get("PARADIS_REMAT_POLICY", self.remat_policy))
+            layer_cls = nn.remat(PhysicsLayer, prevent_cse=False,
+                                 policy=policy)
         L = self.num_layers
         unroll = self.scan_unroll if self.scan_unroll > 0 else L
         if unroll >= L:

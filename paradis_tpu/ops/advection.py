@@ -22,6 +22,7 @@ from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from paradis_tpu.ops.blocks import GMBlock
 from paradis_tpu.ops.interp import grid_sample_interp
@@ -140,11 +141,20 @@ class NeuralSemiLagrangian(nn.Module):
 
         pix_y, pix_x = departure_pixel_coords(u, v, dt, lat_grid, lon_grid,
                                               fast_trig=self.fast_trig)
+        # Named for remat offload policies (model/paradis.py _remat_policy):
+        # the positions are the interp VJP's residuals — saving them lets a
+        # rematerialized layer skip the velocity-net + departure-trig replay.
+        pix_y = checkpoint_name(pix_y, "advect_pos")
+        pix_x = checkpoint_name(pix_x, "advect_pos")
 
         padded = geocyclic_pad(proj, pad)
         out = interpolate(
             padded, pix_y + pad, pix_x + pad, self.interpolation, self.impl
         )
+        # Saving the interp output skips the (VPU-bound, weight-regenerating)
+        # gather-interpolate FORWARD during backward replay — at 1.40625°
+        # that forward is the hottest op under remat.
+        out = checkpoint_name(out, "advect_interp")
 
         out = enforce_pole_continuity(out)
 

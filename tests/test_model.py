@@ -74,6 +74,30 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.parametrize("policy", ["advect", "advect_pos"])
+def test_remat_policy_matches_full_remat(policy):
+    """Saveable-name remat policies change memory/replay, never numerics."""
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 8, 16, 20)), jnp.float32)
+    m_full = tiny_model(gradient_checkpointing=True)
+    m_pol = tiny_model(gradient_checkpointing=True, remat_policy=policy)
+    params = m_full.init(KEY, x)
+    np.testing.assert_allclose(
+        np.asarray(m_pol.apply(params, x)),
+        np.asarray(m_full.apply(params, x)), atol=1e-6)
+    g1 = jax.grad(lambda p: jnp.sum(m_full.apply(p, x) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(m_pol.apply(p, x) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_policy_rejects_unknown():
+    from paradis_tpu.model.paradis import _remat_policy
+
+    with pytest.raises(ValueError, match="remat_policy"):
+        _remat_policy("bogus")
+    assert _remat_policy("none") is None
+
+
 @pytest.mark.slow
 def test_coarsening_factor_roundtrip():
     lat, lon = equiangular_lat_lon(9, 16, include_poles=False)
