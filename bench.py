@@ -103,14 +103,18 @@ def main() -> None:
         float(metrics["loss"])  # value fetch = real synchronization
         return time.perf_counter() - t0
 
-    best_per_step = float("inf")
-    for _ in range(3):
+    # Median-of-5 slope: the shared tunnel's load varies run-to-run, and a
+    # min-of-N statistic selects optimistic windows (round-3 lesson: the
+    # driver's 32.54 landed in a band every quiet A/B leg discarded as
+    # variance).  The median is the reproducible number; the spread keys
+    # expose how (un)quiet this run's windows were.
+    slopes = []
+    for _ in range(5):
         t_short = timed_chain(CHAIN_SHORT)
         t_long = timed_chain(CHAIN_LONG)
-        per_step = (t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT)
-        best_per_step = min(best_per_step, per_step)
-
-    samples_per_sec = BATCH / best_per_step
+        slopes.append((t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT))
+    rates = sorted(BATCH / s for s in slopes)
+    samples_per_sec = float(np.median(rates))
 
     baseline = None
     baseline_path = Path(__file__).parent / "BASELINE.json"
@@ -130,6 +134,8 @@ def main() -> None:
         "value": round(samples_per_sec, 4),
         "unit": "samples/s",
         "vs_baseline": round(vs, 4),
+        "spread_min": round(rates[0], 4),
+        "spread_max": round(rates[-1], 4),
     }))
 
 

@@ -16,6 +16,7 @@ policy) with float32 parameters.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any
 
@@ -38,6 +39,7 @@ from paradis_tpu.sphere.geometry import lonlat_grids
 from paradis_tpu.sphere.padding import geocyclic_pad
 
 EARTH_ROTATION_RATE = 7.29212e-5  # rad/s (reference model/paradis.py:13-14)
+STATIC_DIM = 128  # static-encoder output width (reference model/paradis.py:83)
 
 
 def _remat_policy(name: str):
@@ -67,7 +69,6 @@ def _remat_policy(name: str):
             "advect_interp", "advect_pos")
     raise ValueError(
         f"compute.remat_policy must be none|advect|advect_pos, got {name!r}")
-STATIC_DIM = 128  # static-encoder output width (reference model/paradis.py:83)
 
 
 class _LayerLoop(nn.Module):
@@ -371,8 +372,13 @@ class Paradis(nn.Module):
 
         layer_cls = PhysicsLayer
         if self.gradient_checkpointing:
-            policy = _remat_policy(
-                os.environ.get("PARADIS_REMAT_POLICY", self.remat_policy))
+            policy_name = os.environ.get(
+                "PARADIS_REMAT_POLICY", self.remat_policy)
+            if policy_name != self.remat_policy:
+                logging.getLogger(__name__).warning(
+                    "PARADIS_REMAT_POLICY=%s overrides compute.remat_policy=%s",
+                    policy_name, self.remat_policy)
+            policy = _remat_policy(policy_name)
             layer_cls = nn.remat(PhysicsLayer, prevent_cse=False,
                                  policy=policy)
         L = self.num_layers

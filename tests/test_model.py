@@ -74,12 +74,21 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("scan_unroll", [0, 1], ids=["unrolled", "scan"])
 @pytest.mark.parametrize("policy", ["advect", "advect_pos"])
-def test_remat_policy_matches_full_remat(policy):
-    """Saveable-name remat policies change memory/replay, never numerics."""
+def test_remat_policy_matches_full_remat(policy, scan_unroll):
+    """Saveable-name remat policies change memory/replay, never numerics.
+
+    Covers both layer-stack paths: the fully-unrolled Python loop (the
+    5.625° default) and nn.scan (scan_unroll=1) — named-saveable policies
+    compose differently with scan's residual stacking, so both must agree
+    with full remat.
+    """
     x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 8, 16, 20)), jnp.float32)
-    m_full = tiny_model(gradient_checkpointing=True)
-    m_pol = tiny_model(gradient_checkpointing=True, remat_policy=policy)
+    m_full = tiny_model(gradient_checkpointing=True, scan_unroll=scan_unroll)
+    m_pol = tiny_model(gradient_checkpointing=True, remat_policy=policy,
+                       scan_unroll=scan_unroll)
     params = m_full.init(KEY, x)
     np.testing.assert_allclose(
         np.asarray(m_pol.apply(params, x)),
@@ -87,7 +96,10 @@ def test_remat_policy_matches_full_remat(policy):
     g1 = jax.grad(lambda p: jnp.sum(m_full.apply(p, x) ** 2))(params)
     g2 = jax.grad(lambda p: jnp.sum(m_pol.apply(p, x) ** 2))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # rtol absorbs fp32 reassociation noise: saved-vs-recomputed
+        # intermediates fuse (and round) differently under nn.scan
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-6)
 
 
 def test_remat_policy_rejects_unknown():
