@@ -1,0 +1,192 @@
+"""Training-DYNAMICS parity oracle vs the torch reference (VERDICT r3 #1).
+
+test_reference_parity.py pins the forward pass at ~3e-7; this module pins the
+*training path*: gradients through the custom interp VJPs, TBPTT segmentation,
+loss chunk-scaling and cross-batch gradient accumulation, end-to-end against
+torch autograd.
+
+The reference's manual-optimization loop (``/root/reference/trainer.py:498-587``)
+cannot be driven through ``LitParadis`` here (lightning is not installed), so
+this test transcribes that loop faithfully — same zero_grad cadence
+(``trainer.py:505-506``), chunk-loss scaling by ``1/(num_steps*grad_accum)``
+(``trainer.py:560``), interleaved ``backward`` + input detach at
+``detach_gradient_every`` boundaries (``trainer.py:566-576``), optimizer step
+every ``accumulate_grad_batches`` microbatches (``trainer.py:580-587``), and
+the autoregressive lag-shift (``trainer.py:710-729``) — and drives the ACTUAL
+reference model (grid_sample advection and all) with torch autograd + AdamW.
+
+Our side runs the real production ``make_train_step`` (per-segment
+value_and_grad, stop-gradient carry, lax.cond accumulation) from transplanted
+identical weights.  Parity asserted on per-step losses at every microbatch
+(losses after microbatch 2 reflect the first optimizer step, so any gradient
+or update divergence surfaces immediately) and on the final parameters after
+6 optimizer steps, on both interpolation modes.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+torch = pytest.importorskip("torch")
+if not REFERENCE.exists():  # pragma: no cover
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+sys.path.insert(0, str(REFERENCE))
+
+import jax
+import jax.numpy as jnp
+
+from test_reference_parity import (
+    H,
+    IN_DIM,
+    N_COMMON,
+    N_FORCINGS,
+    N_STATIC,
+    N_TIME,
+    OUT_DIM,
+    W,
+    _build_jax,
+    _build_reference,
+    _cfg,
+    _copy_all,
+)
+
+from paradis_tpu.train.optim import build_optimizer
+from paradis_tpu.train.step import create_train_state, make_train_step
+
+S = 4              # rollout steps per microbatch
+ACCUM = 2          # accumulate_grad_batches
+DETACH = 2         # detach_gradient_every (TBPTT segment length)
+MICRO = 12         # microbatches → 6 optimizer steps
+LR, B1, B2, WD = 1e-3, 0.9, 0.95, 0.01
+C_DYN = N_COMMON * N_TIME
+
+
+def _make_batches(seed: int = 42):
+    """MICRO deterministic channels-last microbatches (batch size 1)."""
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(MICRO):
+        batches.append({
+            "input": rng.normal(size=(1, H, W, C_DYN)).astype(np.float32),
+            "target": rng.normal(size=(1, S, H, W, OUT_DIM)).astype(np.float32),
+            "forcings": rng.normal(size=(1, S, H, W, N_FORCINGS)).astype(np.float32),
+            "constants": rng.normal(size=(1, H, W, N_STATIC)).astype(np.float32),
+        })
+    return batches
+
+
+def _torch_autoregress(model_input, output):
+    """Reference ``_autoregression_next_input`` (trainer.py:710-729)."""
+    common = output[:, :N_COMMON]
+    lag = N_COMMON * N_TIME
+    return torch.cat([model_input[:, N_COMMON:lag], common], dim=1)
+
+
+def _torch_training(ref, batches):
+    """The reference manual-optimization loop, transcribed from
+    ``trainer.py:498-587`` (see module docstring)."""
+    opt = torch.optim.AdamW(ref.parameters(), lr=LR, betas=(B1, B2),
+                            eps=1e-8, weight_decay=WD)
+    per_step_losses = []  # [MICRO, S]
+    for batch_idx, b in enumerate(batches):
+        input_data = torch.from_numpy(
+            b["input"].transpose(0, 3, 1, 2)).unsqueeze(1)       # [B,1,C,H,W]
+        true_data = torch.from_numpy(b["target"].transpose(0, 1, 4, 2, 3))
+        forcings = torch.from_numpy(b["forcings"]).permute(0, 1, 4, 2, 3)
+        constants = torch.from_numpy(b["constants"]).unsqueeze(1) \
+            .permute(0, 1, 4, 2, 3)                              # [:, :1] slice
+
+        if batch_idx % ACCUM == 0:                               # trainer.py:505
+            opt.zero_grad()
+
+        chunk_loss = 0.0
+        row = []
+        for step in range(S):                                    # trainer.py:533
+            forcings_step = forcings[:, step].unsqueeze(1)
+            model_input = torch.cat(
+                [input_data, forcings_step, constants], dim=2).squeeze(1)
+            output = ref(model_input)
+            loss = torch.nn.functional.mse_loss(output, true_data[:, step])
+            row.append(float(loss.detach()))
+            chunk_loss = chunk_loss + loss / (S * ACCUM)         # trainer.py:560
+            input_data = _torch_autoregress(model_input, output).unsqueeze(1)
+            if (step + 1) % DETACH == 0 or step == S - 1:        # trainer.py:566-576
+                chunk_loss.backward()
+                input_data = input_data.detach()
+                chunk_loss = 0.0
+
+        if (batch_idx + 1) % ACCUM == 0:                         # trainer.py:580-587
+            opt.step()
+        per_step_losses.append(row)
+    return np.asarray(per_step_losses)
+
+
+def _train_cfg(interpolation: str):
+    cfg = _cfg()
+    cfg.model.adv_interpolation = interpolation
+    cfg.training.optimizer.name = "adamw"
+    cfg.training.optimizer.lr = LR
+    cfg.training.optimizer.beta1 = B1
+    cfg.training.optimizer.beta2 = B2
+    cfg.training.optimizer.weight_decay = WD
+    cfg.training.optimizer.detach_gradient_every = DETACH
+    cfg.training.accumulate_grad_batches = ACCUM
+    cfg.training.gradient_clip_val = None
+    cfg.training.log_additional_stats = False
+    return cfg
+
+
+def _jax_training(cfg, model, params, batches):
+    optimizer = build_optimizer(cfg, params)
+    loss_fn = lambda out, tgt: jnp.mean((out - tgt) ** 2)  # noqa: E731
+    train_step, _ = make_train_step(model, loss_fn, cfg, optimizer, donate=False)
+    state = create_train_state(params, optimizer)
+    per_step_losses = []
+    for b in batches:
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        state, metrics = train_step(state, batch, N_COMMON)
+        per_step_losses.append(np.asarray(metrics["loss_per_step"]))
+    return state, np.asarray(per_step_losses)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("interpolation", ["bilinear", "bicubic"])
+def test_training_dynamics_parity_with_reference(interpolation):
+    cfg = _train_cfg(interpolation)
+    ref = _build_reference(cfg)
+    ref.train()
+    model, params = _build_jax(cfg)
+    _copy_all(ref, params)
+
+    batches = _make_batches()
+    theirs = _torch_training(ref, batches)
+    state, ours = _jax_training(cfg, model, params, batches)
+
+    assert theirs.shape == ours.shape == (MICRO, S)
+    # Per-step losses at every microbatch: any gradient/TBPTT/accumulation
+    # divergence shows up from microbatch 3 on (first optimizer step applies
+    # after microbatch 2).  fp32 end-to-end; forward parity alone is ~3e-7.
+    np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=1e-6)
+
+    # Losses must actually evolve (optimizer steps are taking effect) —
+    # guards against a vacuous pass where no side ever updates.
+    assert not np.allclose(theirs[0], theirs[-1], rtol=1e-3)
+
+    # Final parameters after 6 AdamW steps: transplant our trained params
+    # into a fresh reference skeleton and diff state_dicts leaf by leaf.
+    ref_final = _build_reference(cfg)
+    _copy_all(ref_final, jax.device_get(state.params))
+    sd_trained = ref.state_dict()
+    sd_ours = ref_final.state_dict()
+    assert sd_trained.keys() == sd_ours.keys()
+    for key in sd_trained:
+        a = sd_trained[key].detach().numpy()
+        b = sd_ours[key].numpy()
+        np.testing.assert_allclose(
+            b, a, rtol=5e-4, atol=2e-6,
+            err_msg=f"post-training parameter divergence at {key}")
