@@ -26,7 +26,7 @@ from pathlib import Path
 import numpy as np
 
 from paradis_tpu.data import zarrlite
-from paradis_tpu.data.forcings import time_forcings, toa_radiation
+from paradis_tpu.data.forcings import ToaRadiationCache, time_forcings
 from paradis_tpu.sphere.geometry import lonlat_grids, normalized_inverse_lon_spacing
 from paradis_tpu.utils.normalization import (
     normalize_humidity,
@@ -124,6 +124,19 @@ class ERA5Dataset:
         )
         max_valid = (len(self.times) - self._base - span) // self.interval_steps + 1
         self.length = max(0, min(n_candidates, max_valid))
+
+        # per-timestamp memo over the GL quadrature: every stamp is shared by
+        # the S+n_time-1 sample windows covering it (reference pays this
+        # per-sample in worker processes, era5_dataset.py:587-623; this host
+        # has one core).  Shuffled epochs revisit stamps in random order, so
+        # size the LRU to the training window when memory allows (≤ 1 GB of
+        # [H, W] float32 fields; a 2-year 5.625° store is ~143 MB).
+        entry_bytes = 4 * self.lat_size * self.lon_size
+        n_stamps = self.length * self.interval_steps + self.n_time_inputs + span
+        cap = max(512, min(n_stamps, (1 << 30) // entry_bytes))
+        self._toa_cache = ToaRadiationCache(
+            self.lat, self.lon, self.toa_rad_mean, self.toa_rad_std,
+            capacity=cap)
 
         self._build_features(features_cfg)
         self._build_constants(features_cfg)
@@ -380,8 +393,7 @@ class ERA5Dataset:
         blocks = []
         for var in self.forcing_inputs:
             if var == "toa_incident_solar_radiation":
-                rad = toa_radiation(times, self.lat, self.lon)
-                rad = (rad - self.toa_rad_mean) / self.toa_rad_std
+                rad = self._toa_cache(times)  # normalized [T, H, W]
                 # unfold: frame s gets lags [s, s+n)
                 stack = np.stack([rad[s : s + n] for s in range(S)])  # [S,n,H,W]
                 blocks.append(np.moveaxis(stack, 1, -1))  # [S,H,W,n]

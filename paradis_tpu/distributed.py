@@ -102,6 +102,50 @@ def constrain_ns_batch(x):
         x, NamedSharding(mesh, P(tuple(axes), None, None)))
 
 
+def constrain_spectral(x):
+    """Reshard a ``[B, H, W, C]`` field from spatial to channel sharding.
+
+    The AMSE loss's spherical-harmonic transform (``ops/sht.py``) runs an
+    rFFT over the longitude axis and a Legendre contraction over the latitude
+    axis — both need those axes whole, so a field left on the model's
+    ``(lat, space)`` spatial layout would make GSPMD fall back to replicating
+    the activation mid-transform (the "all-gather-everything" pattern the
+    collective census forbids).  Instead, pin the transform input to a layout
+    the SHT can consume in parallel:
+
+      * channels sharded over the largest prefix of spatial mesh axes whose
+        product divides C — a clean all-to-all reshard (same bytes on the
+        wire as one all-gather, but each device keeps ``1/n`` of the field
+        and the whole transform stays compute-parallel over channels);
+      * fallback (C not divisible by any spatial axis): explicit spatial
+        replication — one deliberate, loss-boundary all-gather instead of
+        an unplanned mid-transform one.
+
+    Batch stays on ``data`` either way.  No-op outside
+    :func:`spatial_rules` or for non-4D inputs.  Reference analogue: DDP
+    computes the AMSE redundantly per rank on the full field
+    (``utils/amse_loss.py:13-208``); the spatial mesh is our own capability.
+    """
+    mesh = _SPATIAL_MESH.get()
+    if mesh is None or getattr(x, "ndim", 0) != 4:
+        return x
+    spatial = [a for a in (LAT_AXIS, SPACE_AXIS)
+               if a in mesh.axis_names and mesh.shape[a] > 1]
+    if not spatial:
+        return x
+    axes = []
+    ways = 1
+    for a in spatial:
+        if x.shape[-1] % (ways * mesh.shape[a]) == 0:
+            axes.append(a)
+            ways *= mesh.shape[a]
+    data = DATA_AXIS if (DATA_AXIS in mesh.axis_names
+                         and mesh.shape[DATA_AXIS] > 1
+                         and x.shape[0] % mesh.shape[DATA_AXIS] == 0) else None
+    spec = P(data, None, None, tuple(axes) if axes else None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def constrain_spatial(x):
     """Pin ``[..., H, W, C]`` activation sharding to the active spatial mesh.
 

@@ -52,6 +52,13 @@ class AMSELoss:
 
     def __call__(self, pred: jnp.ndarray, target: jnp.ndarray,
                  weights: jnp.ndarray | None = None) -> jnp.ndarray:
+        # Under a spatial mesh, reshard [B,H,W,C] to channel sharding before
+        # the SHT (whole lat/lon axes per device, transform parallel over
+        # channels) — see distributed.constrain_spectral.  No-op otherwise.
+        from paradis_tpu.distributed import constrain_spectral
+
+        pred = constrain_spectral(pred)
+        target = constrain_spectral(target)
         p_coef = self.sht.analysis(pred.astype(jnp.float32))
         t_coef = self.sht.analysis(target.astype(jnp.float32))
 

@@ -25,10 +25,10 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
-@pytest.mark.slow
-def test_sharded_step_collective_inventory():
+def _census(*extra_args):
     proc = subprocess.run(
-        [sys.executable, str(REPO / "scripts" / "collective_census.py"), "8"],
+        [sys.executable, str(REPO / "scripts" / "collective_census.py"), "8",
+         *extra_args],
         capture_output=True, text=True, timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -45,7 +45,9 @@ def test_sharded_step_collective_inventory():
     # all-gathers must be FSDP parameter gathers: their result element count
     # is bounded by the largest parameter (tiny flagship: advection MLP
     # weights, < 64k elems).  An activation all-gather at B,H,W=2,16,32 and
-    # hidden 128 would be >= 2*16*32*128 = 131072 elems.
+    # hidden 128 would be >= 2*16*32*128 = 131072 elems.  (The AMSE loss
+    # boundary's deliberate constrain_spectral reshard of the 2x8x16x97
+    # loss input = 24832 elems also sits well under this bound.)
     largest_param_elems = 65536
     for shape in re.findall(r"\d+ x \w+\[([\d,]*)\]", out):
         dims = [int(d) for d in shape.split(",") if d]
@@ -56,3 +58,18 @@ def test_sharded_step_collective_inventory():
             f"activation-sized collective result [{shape}] — GSPMD inserted "
             f"an all-gather-everything fallback:\n{out}"
         )
+    return out
+
+
+@pytest.mark.slow
+def test_sharded_step_collective_inventory():
+    _census()
+
+
+@pytest.mark.slow
+def test_sharded_step_collective_inventory_amse_tbptt_accum():
+    """VERDICT r3 missing #2/#3: the AMSE spectral loss (SHT over the
+    space-sharded longitude axis), a 2-step TBPTT rollout and gradient
+    accumulation must compile to the same clean collective program — no
+    mid-transform activation replication from the rfft/Legendre contraction."""
+    _census("--loss=amse", "--steps=2", "--accum=2")

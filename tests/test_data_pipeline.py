@@ -165,6 +165,29 @@ def test_toa_radiation_physical_bounds():
     assert rad.max() < 1440.0 * 3600
 
 
+def test_toa_radiation_cache_matches_direct():
+    """ToaRadiationCache must be a pure memo: bitwise-equal to the direct
+    quadrature (normalized), on both the miss and the hit path, including
+    overlapping stamp windows (the stride-1 sample pattern it exists for)."""
+    from paradis_tpu.data.forcings import ToaRadiationCache
+
+    lat = np.linspace(-80, 80, 8)
+    lon = np.arange(0, 360, 45.0)
+    mean, std = 500e3, 400e3
+    cache = ToaRadiationCache(lat, lon, mean, std, capacity=4)
+    t0 = np.datetime64("2010-03-01T00:00", "us")
+    win1 = t0 + np.arange(3) * np.timedelta64(1, "h")
+    win2 = t0 + (1 + np.arange(3)) * np.timedelta64(1, "h")  # overlaps by 2
+
+    direct1 = (toa_radiation(win1, lat, lon) - mean) / std
+    direct2 = (toa_radiation(win2, lat, lon) - mean) / std
+    np.testing.assert_array_equal(cache(win1), direct1.astype(np.float32))
+    np.testing.assert_array_equal(cache(win2), direct2.astype(np.float32))
+    # second pass: all hits, still identical, and capacity was respected
+    np.testing.assert_array_equal(cache(win2), direct2.astype(np.float32))
+    assert len(cache._store) <= 4
+
+
 def test_time_forcings_ranges():
     times = np.datetime64("2001-01-01") + np.arange(8) * np.timedelta64(6, "h")
     tf = time_forcings(times)
