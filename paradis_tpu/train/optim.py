@@ -302,7 +302,8 @@ def build_optimizer(cfg, params_example) -> optax.GradientTransformation:
         core = adamw_core
     elif name in ("muon", "normuon"):
         muon_core = optax.chain(
-            scale_by_muon(momentum=b1, normuon=(name == "normuon"), beta2=b2),
+            scale_by_muon(momentum=b1, normuon=(name == "normuon"), beta2=b2,
+                          ns_steps=int(ocfg.get("ns_steps", 5))),
             optax.add_decayed_weights(wd),
         )
         core = optax.multi_transform(
