@@ -1,0 +1,147 @@
+"""Serialized deployment artifacts for the trained model (``jax.export``).
+
+The reference has no deployment story beyond "load the Lightning checkpoint
+in Python" (reference ``forecast.py:62-118``).  On TPU the natural serving
+artifact is the compiled program itself: ``jax.export`` lowers the jitted
+forward step to versioned StableHLO with shape/dtype/platform metadata, so a
+serving process can run forecasts **without the model code** (and with
+guaranteed numerical identity to the exporting build — same HLO, same
+compiler).
+
+Artifact layout (a directory):
+
+    forward.shlo   serialized ``jax.export.Exported`` of one forward step
+                   ``(params, x[B,H,W,Cin]) -> y[B,H,W,Cout]`` (fp32, the
+                   forecast configuration — reference forecast.py:85)
+    params.npz     flattened parameter tree ("/"-joined keys)
+    manifest.json  shapes, dtypes, feature bookkeeping (n_common, n_time —
+                   everything ``autoregress_next_input`` needs to roll the
+                   model forward), jax/export versions, platforms, and the
+                   full config YAML snapshot
+
+Params stay an *argument* (not baked-in constants) so the artifact is small
+and one export serves many checkpoints of the same architecture.
+``load_artifact`` returns a ``ServingModel`` that reproduces the exporting
+model's outputs up to fp32 reassociation from the reload-side recompile
+(~2e-7 at toy scale; same StableHLO, freshly scheduled) — verified in
+``tests/test_export.py``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+_FORWARD_FILE = "forward.shlo"
+_PARAMS_FILE = "params.npz"
+_MANIFEST_FILE = "manifest.json"
+_SEP = "/"
+
+
+def _flatten_params(params) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = _SEP.join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_params(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split(_SEP)
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def export_forward(model, params, batch_size: int, nlat: int, nlon: int,
+                   input_dim: int, platforms: list[str] | None = None):
+    """``jax.export.Exported`` of ``(params, x) -> model.apply(params, x)``.
+
+    Shapes are static (the TPU compilation model — SURVEY §7 hard part #6);
+    export one artifact per serving batch size.  ``platforms`` defaults to
+    the current backend; pass e.g. ``["tpu", "cpu"]`` for a multi-platform
+    artifact (larger, but runs anywhere).
+    """
+
+    def forward(p, x):
+        return model.apply(p, x)
+
+    x_spec = jax.ShapeDtypeStruct((batch_size, nlat, nlon, input_dim),
+                                  jnp.float32)
+    p_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = platforms
+    return jax_export.export(jax.jit(forward), **kwargs)(p_spec, x_spec)
+
+
+def save_artifact(out_dir, model, params, cfg, *, batch_size: int, nlat: int,
+                  nlon: int, input_dim: int, output_dim: int, n_common: int,
+                  feature_names: list[str] | None = None,
+                  platforms: list[str] | None = None) -> Path:
+    """Export + write the serving artifact directory; returns its path."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    exported = export_forward(model, params, batch_size, nlat, nlon,
+                              input_dim, platforms=platforms)
+    (out / _FORWARD_FILE).write_bytes(exported.serialize())
+    np.savez(out / _PARAMS_FILE, **_flatten_params(params))
+
+    manifest = {
+        "format": "paradis_tpu.export.v1",
+        "jax_version": jax.__version__,
+        "platforms": list(exported.platforms),
+        "input_shape": [batch_size, nlat, nlon, input_dim],
+        "output_shape": [batch_size, nlat, nlon, output_dim],
+        "dtype": "float32",
+        "n_common": int(n_common),
+        "n_time": int(cfg.dataset.n_time_inputs),
+        "feature_names": feature_names,
+        "config_yaml": cfg.to_yaml(),
+    }
+    (out / _MANIFEST_FILE).write_text(json.dumps(manifest, indent=1))
+    return out
+
+
+class ServingModel:
+    """A loaded artifact: ``model(x)`` runs the exported forward step.
+
+    ``step(x)`` plus the manifest's ``n_common``/``n_time`` is everything a
+    serving loop needs to autoregress (``train.step.autoregress_next_input``
+    semantics, reference ``trainer.py:710-729``).
+    """
+
+    def __init__(self, exported, params, manifest: dict):
+        self._exported = exported
+        self.params = params
+        self.manifest = manifest
+
+    def __call__(self, x):
+        return self._exported.call(self.params, x)
+
+    @property
+    def platforms(self):
+        return tuple(self._exported.platforms)
+
+
+def load_artifact(artifact_dir) -> ServingModel:
+    art = Path(artifact_dir)
+    exported = jax_export.deserialize((art / _FORWARD_FILE).read_bytes())
+    with np.load(art / _PARAMS_FILE) as npz:
+        params = _unflatten_params({k: npz[k] for k in npz.files})
+    manifest = json.loads((art / _MANIFEST_FILE).read_text())
+    return ServingModel(exported, params, manifest)
