@@ -118,6 +118,7 @@ class PhysicsLayer(nn.Module):
     interpolation: str = "bicubic"
     advection_impl: str = "auto"
     fast_trig: bool = False
+    band_max_dy_pix: Any = None    # Pallas row-banding bound in pixels (ops/advection.py)
     velocity_layers: tuple = ("CLinear", "SepConv")
     velocity_hidden: Any = 384
     diffusion_layers: tuple = ("SepConv",)
@@ -165,6 +166,7 @@ class PhysicsLayer(nn.Module):
             interpolation=self.interpolation,
             impl=self.advection_impl,
             fast_trig=self.fast_trig,
+            band_max_dy_pix=self.band_max_dy_pix,
             dtype=self.dtype,
             name="advection",
         )(hidden, u, v, self.dt, lat_grid, lon_grid)
@@ -220,6 +222,7 @@ class Paradis(nn.Module):
     interpolation: str = "bicubic"
     advection_impl: str = "auto"
     fast_trig: bool = False
+    band_bound_rad: Any = None     # Pallas row-banding opt-in, rad (dead end on v5e — ops/interp_pallas.py)
     coarsening_factor: int = 1
     gradient_checkpointing: bool = False
     # remat offload policy (see _remat_policy); PARADIS_REMAT_POLICY overrides
@@ -275,6 +278,7 @@ class Paradis(nn.Module):
             interpolation=cfg.model.adv_interpolation,
             advection_impl=adv_impl,
             fast_trig=bool(cfg.compute.get("fast_departure_trig", False)),
+            band_bound_rad=cfg.compute.get("interp_band_rad", None) or None,
             coarsening_factor=cfg.model.get("coarsening_factor", 1),
             gradient_checkpointing=cfg.compute.get("gradient_checkpointing", False),
             remat_policy=str(cfg.compute.get("remat_policy", "none") or "none"),
@@ -312,6 +316,24 @@ class Paradis(nn.Module):
         lon = np.deg2rad(np.asarray(self.lon_deg, np.float64))[::s]
         latg, long_ = lonlat_grids(lat, lon)
         return jnp.asarray(latg, jnp.float32), jnp.asarray(long_, jnp.float32)
+
+    def _band_max_dy_pix(self):
+        """Static pixel bound for the Pallas row-banded interp kernels.
+
+        Computed from numpy grid constants so it stays a static attribute
+        even when the physics layers run under remat/scan (where the grid
+        ARGUMENTS are tracers).  None when disabled.
+        """
+        if not self.band_bound_rad:
+            return None
+        s = self.coarsening_factor
+        lat = np.deg2rad(np.asarray(self.lat_deg, np.float64))[::s]
+        if len(lat) < 2:
+            return None
+        spacing = (lat.max() - lat.min()) / (len(lat) - 1)
+        if spacing <= 0:
+            return None
+        return float(self.band_bound_rad) / float(spacing)
 
     @nn.compact
     def __call__(self, fields: jnp.ndarray) -> jnp.ndarray:
@@ -357,6 +379,7 @@ class Paradis(nn.Module):
             interpolation=self.interpolation,
             advection_impl=self.advection_impl,
             fast_trig=self.fast_trig,
+            band_max_dy_pix=self._band_max_dy_pix(),
             velocity_layers=self.velocity_layers,
             velocity_hidden=self.velocity_hidden,
             diffusion_layers=self.diffusion_layers,

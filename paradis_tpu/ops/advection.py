@@ -69,7 +69,8 @@ def departure_pixel_coords(u, v, dt, lat_grid, lon_grid,
     return pix_y, pix_x
 
 
-def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto"):
+def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto",
+                max_dy_pix: float | None = None):
     """Backend dispatch for the gather-interpolation.
 
     ``auto`` picks by backend and problem size:
@@ -99,7 +100,8 @@ def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto"):
     if impl == "pallas":
         from paradis_tpu.ops.interp_pallas import grid_sample_interp_pallas
 
-        return grid_sample_interp_pallas(field, pix_y, pix_x, mode)
+        return grid_sample_interp_pallas(field, pix_y, pix_x, mode,
+                                         max_dy_pix=max_dy_pix)
     if impl == "xla":
         return grid_sample_interp(field, pix_y, pix_x, mode, method="dense")
     if impl == "gather":
@@ -120,6 +122,14 @@ class NeuralSemiLagrangian(nn.Module):
     interpolation: str = "bicubic"
     impl: str = "auto"
     fast_trig: bool = False
+    # Row-displacement bound in PIXELS licensing the Pallas row-banded
+    # kernels at high resolution (departure rows are clamped to ±bound of
+    # the arrival row).  Must be a static Python float — computed by the
+    # caller from ``compute.interp_band_rad`` and the latitude spacing
+    # (model/paradis.py), NOT derived from the (possibly traced) grid
+    # arguments.  None disables banding; it is also auto-disabled where
+    # unprofitable (interp_pallas._band_spec).
+    band_max_dy_pix: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -149,7 +159,8 @@ class NeuralSemiLagrangian(nn.Module):
 
         padded = geocyclic_pad(proj, pad)
         out = interpolate(
-            padded, pix_y + pad, pix_x + pad, self.interpolation, self.impl
+            padded, pix_y + pad, pix_x + pad, self.interpolation, self.impl,
+            max_dy_pix=self.band_max_dy_pix,
         )
         # Saving the interp output skips the (VPU-bound, weight-regenerating)
         # gather-interpolate FORWARD during backward replay — at 1.40625°

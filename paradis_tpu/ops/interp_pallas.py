@@ -33,6 +33,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 from paradis_tpu.ops.interp import _tap_scalars
@@ -82,9 +83,9 @@ def _weights_T(pos, size, mode, derivative=False, row0=0):
     than evaluating the piecewise cubic densely, and with ``derivative=True``
     all comparisons are shared between K and K′ (one pass for the backward).
 
-    ``row0`` (static) offsets the support rows: the result covers rows
-    ``[row0, row0 + size)`` of the full grid — the row-chunked kernels
-    generate only the active chunk's weights.
+    ``row0`` offsets the support rows: the result covers rows
+    ``[row0, row0 + size)`` of the full grid — the row-chunked kernels pass a
+    static chunk start, the row-banded kernels a traced per-band start.
     """
     vb, P = pos.shape
     if derivative:
@@ -93,7 +94,7 @@ def _weights_T(pos, size, mode, derivative=False, row0=0):
         i0, _, ws = _tap_scalars(pos, mode, False)
     idx = jax.lax.broadcasted_iota(
         jnp.int32, (vb, size, P), 1).astype(jnp.float32)
-    rel = (idx + float(row0)) - i0[:, None, :]
+    rel = (idx + jnp.asarray(row0, jnp.float32)) - i0[:, None, :]
 
     if mode == "bilinear":
         is0 = rel == 0
@@ -319,11 +320,179 @@ def _pad_rows(field_t, R, rw):
     return field_t, Rp
 
 
-def _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows):
+# -- row banding --------------------------------------------------------------
+#
+# The dense kernels pay O(R) per position on the y-axis (wyT generation, the
+# x-contraction's M dimension, the d_field dot) even though each position's
+# taps touch ≤4 rows near its ARRIVAL row: positions are row-major, so a
+# position block spans a handful of arrival rows, and when the row
+# displacement is bounded (|pix_y − arrival_row| ≤ m, enforced by an explicit
+# clamp in ``grid_sample_interp_pallas``) every nonzero tap of the block
+# provably lies in a static band of ``band_rows = rpb + 2m + O(1)`` rows.
+# The banded kernels therefore receive a pre-sliced field
+# ``[B, V, n_bands, band_rows, C]`` (overlapping static slices, built once in
+# XLA) and run the exact same unchunked kernel body on ``band_rows`` instead
+# of ``R`` — no ``pl.when`` guards, no dynamic slicing, so none of the Mosaic
+# scheduling loss that killed the row-CHUNKED variants (dead-end note at
+# ``_CHUNK_ROWS``).  On paper, at 1.40625° (R=132, band_rows=40) this cuts
+# the x-dot and d_field MXU work ~3× and the wyT generation ~3×; at 5.625°
+# (R=36) the profitability gate disables it.
+#
+# DEAD END (measured, v5e, 1.40625° full train step, same-session A/B legs):
+# banding LOSES at every variant despite the smaller dots —
+#   unbanded 1043–1046 ms | banded fwd+bwd 1058 ms | banded fwd-only 1186 ms.
+# The kernel is VPU-bound on the (unshrunk) x-weight generation O(C·P), and
+# the XLA-side costs banding adds — the 16-band overlapping field copy
+# (~236 MB bf16/layer, built per forward incl. remat replay) and the bwd
+# overlap-add that re-reads the full-R d_field accumulator per band
+# (~5× d_field bytes) — exceed what the smaller y-axis work saves.  Default
+# OFF (``compute.interp_band_rad: 0``); the machinery stays correct and
+# tested (tests/test_interp_pallas.py) for future-hardware A/Bs.
+#
+# Exactness when opted in: positions are clamped to the caller's bound
+# (``compute.interp_band_rad`` radians of latitude per layer; 0.3 ≈ 15× the
+# largest physical semi-Lagrangian per-layer displacement, so the clamp only
+# ever binds unphysical transients) — within the bound, banded and unbanded
+# kernels produce identical outputs and gradients.
+
+_BAND_RPB = 8  # arrival rows per band
+
+
+def _band_spec(H, W, R, mode, max_dy_pix):
+    """Static banding plan or None.
+
+    Returns ``(rpb, band_rows, halo_lo, pad, m_pix)``: bands of ``rpb``
+    arrival rows, each seeing ``band_rows`` padded field rows starting at
+    ``clip(b·rpb + pad − halo_lo, 0, R − band_rows)``.
+    """
+    if max_dy_pix is None:
+        return None
+    env = os.environ.get("PARADIS_INTERP_BAND")
+    if env is not None and env == "0":
+        return None
+    rpb = _BAND_RPB
+    while rpb > 1 and H % rpb:
+        rpb //= 2
+    m = int(np.ceil(float(max_dy_pix)))
+    lo, hi = (1, 2) if mode == "bicubic" else (0, 1)
+    band_rows = -(-(rpb + 2 * m + lo + hi) // 8) * 8  # sublane-align
+    pad = (R - H) // 2
+    # profitable only when the band is well under the full padded row count
+    # (else the slicing/overlap-add overhead outweighs the smaller dots)
+    if band_rows * 2 > R and env != "1":
+        return None
+    if band_rows > R:
+        return None
+    return (rpb, band_rows, m + lo, pad, float(max_dy_pix))
+
+
+def _band_starts(spec, R):
+    rpb, band_rows, halo_lo, pad, _ = spec
+    n_bands = 0
+    starts = []
+    b = 0
+    while True:
+        arr0 = b * rpb + pad
+        if arr0 >= R - pad:
+            break
+        starts.append(min(max(arr0 - halo_lo, 0), R - band_rows))
+        b += 1
+    return starts
+
+
+def _band_field(field_t, spec):
+    """[B,V,R,C] → [B,V,n_bands,band_rows,C] overlapping static row slices."""
+    R = field_t.shape[-2]
+    _, band_rows, _, _, _ = spec
+    bands = [field_t[:, :, r0:r0 + band_rows, :]
+             for r0 in _band_starts(spec, R)]
+    return jnp.stack(bands, axis=2)
+
+
+def _band_r0(spec, R, bpb):
+    """Traced band start row for this kernel instance (matches _band_starts)."""
+    rpb, band_rows, halo_lo, pad, _ = spec
+    band = pl.program_id(2) // bpb
+    return jnp.clip(band * rpb + pad - halo_lo, 0, R - band_rows)
+
+
+def _fwd_kernel_banded(field_ref, py_ref, px_ref, out_ref, *, mode, cdt,
+                       spec, R_full, bpb):
+    band_rows, C = field_ref.shape[-2], field_ref.shape[-1]
+    r0 = _band_r0(spec, R_full, bpb)
+    py = py_ref[0]                                               # [vb, P]
+    px = px_ref[0]
+    f = field_ref[0, :, 0].astype(cdt)                           # [vb, br, C]
+    wxT = _weights_T(px, C, mode).astype(cdt)                    # [vb, C, P]
+    out_ref[0] = _fwd_contrib(f, wxT, py, mode, r0, band_rows, cdt)
+
+
+def _bwd_kernel_banded(field_ref, py_ref, px_ref, g_ref,
+                       dfield_ref, dpy_ref, dpx_ref, *, mode, cdt,
+                       spec, R_full, bpb):
+    band_rows, C = field_ref.shape[-2], field_ref.shape[-1]
+    P = py_ref.shape[-1]
+    r0 = _band_r0(spec, R_full, bpb)
+    py = py_ref[0]
+    px = px_ref[0]
+    f = field_ref[0, :, 0].astype(cdt)                           # [vb, br, C]
+    g = g_ref[0]
+    wxT, dwxT = _weights_T(px, C, mode, derivative=True)
+    wx2 = jnp.concatenate([wxT, dwxT], axis=-1).astype(cdt)      # [vb, C, 2P]
+    dpy, dpx, partial = _bwd_contrib(f, wx2, py, g, mode, r0, band_rows, P,
+                                     cdt, dfield_ref.dtype)
+    dpy_ref[0] = dpy
+    dpx_ref[0] = dpx
+
+    # the band's d_field block is revisited across this band's position
+    # blocks (p innermost): init on the first, accumulate after
+    @pl.when(pl.program_id(2) % bpb == 0)
+    def _():
+        dfield_ref[0, :, 0] = partial
+
+    @pl.when(pl.program_id(2) % bpb != 0)
+    def _():
+        dfield_ref[0, :, 0] = dfield_ref[0, :, 0] + partial
+
+
+def _band_pb(P, vb, spec, C, W, bwd):
+    """Position block for banded kernels: fits VMEM at band_rows and divides
+    the per-band position count."""
+    rpb, band_rows, _, _, _ = spec
+    band_pos = rpb * W
+    pb = _pick_pb(P, vb, band_rows, C, bwd=bwd)
+    pb = min(pb, band_pos)
+    while band_pos % pb:
+        pb //= 2
+    return pb, band_pos // pb
+
+
+def _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows, band=None):
     """field [B,V,R,C], py/px [B,V,P] → out [B,V,P] fp32 (channel-major)."""
     B, V, R, C = field_t.shape
     P = py_t.shape[-1]
     vb = _pick_vb(V)
+    if band is not None:
+        rpb, band_rows, _, pad, _ = band
+        W = P // (R - 2 * pad)  # P = H·W, H = R − 2·pad
+        pb, bpb = _band_pb(P, vb, band, C, W, bwd=False)
+        fb = _band_field(field_t, band)
+        grid = (B, V // vb, P // pb)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_banded, mode=mode,
+                              cdt=_compute_dtype(field_t.dtype),
+                              spec=band, R_full=R, bpb=bpb),
+            out_shape=jax.ShapeDtypeStruct((B, V, P), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, vb, 1, band_rows, C),
+                             lambda b, v, p, bpb=bpb: (b, v, p // bpb, 0, 0)),
+                pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+                pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+            ],
+            out_specs=pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+            interpret=interpret,
+        )(fb, py_t, px_t)
     rw = _chunk_rows(R, chunk_rows)
     if rw:
         field_t, R = _pad_rows(field_t, R, rw)
@@ -347,10 +516,50 @@ def _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows):
     )(field_t, py_t, px_t)
 
 
-def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret, chunk_rows):
+def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret, chunk_rows, band=None):
     B, V, R, C = field_t.shape
     P = py_t.shape[-1]
     vb = _pick_vb(V)
+    if band is not None:
+        rpb, band_rows, _, pad, _ = band
+        W = P // (R - 2 * pad)
+        pb, bpb = _band_pb(P, vb, band, C, W, bwd=True)
+        fb = _band_field(field_t, band)
+        starts = _band_starts(band, R)
+        n_bands = len(starts)
+        grid = (B, V // vb, P // pb)
+        dbands, dpy, dpx = pl.pallas_call(
+            functools.partial(_bwd_kernel_banded, mode=mode,
+                              cdt=_compute_dtype(field_t.dtype),
+                              spec=band, R_full=R, bpb=bpb),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, V, n_bands, band_rows, C),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((B, V, P), jnp.float32),
+                jax.ShapeDtypeStruct((B, V, P), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, vb, 1, band_rows, C),
+                             lambda b, v, p, bpb=bpb: (b, v, p // bpb, 0, 0)),
+                pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+                pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+                pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, vb, 1, band_rows, C),
+                             lambda b, v, p, bpb=bpb: (b, v, p // bpb, 0, 0)),
+                pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+                pl.BlockSpec((1, vb, pb), lambda b, v, p: (b, v, p)),
+            ),
+            interpret=interpret,
+        )(fb, py_t, px_t, g_t)
+        # overlap-add the per-band d_field contributions (static slices)
+        dfield = jnp.zeros((B, V, R, C), jnp.float32)
+        for i, r0 in enumerate(starts):
+            dfield = dfield.at[:, :, r0:r0 + band_rows, :].add(
+                dbands[:, :, i])
+        return dfield, dpy, dpx
     rw = _chunk_rows(R, chunk_rows)
     R_out = R
     if rw:
@@ -389,21 +598,21 @@ def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret, chunk_rows):
     return dfield, dpy, dpx
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _interp_tv(field_t, py_t, px_t, mode, interpret, chunk_rows):
-    return _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _interp_tv(field_t, py_t, px_t, mode, interpret, chunk_rows, band):
+    return _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows, band)
 
 
-def _interp_tv_fwd(field_t, py_t, px_t, mode, interpret, chunk_rows):
-    out = _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows)
+def _interp_tv_fwd(field_t, py_t, px_t, mode, interpret, chunk_rows, band):
+    out = _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows, band)
     return out, (field_t, py_t, px_t)
 
 
-def _interp_tv_bwd(mode, interpret, chunk_rows, res, g):
+def _interp_tv_bwd(mode, interpret, chunk_rows, band, res, g):
     field_t, py_t, px_t = res
     dfield, dpy, dpx = _bwd_tv(field_t, py_t, px_t,
                                g.astype(jnp.float32), mode, interpret,
-                               chunk_rows)
+                               chunk_rows, band)
     return dfield.astype(field_t.dtype), dpy, dpx
 
 
@@ -413,20 +622,34 @@ _interp_tv.defvjp(_interp_tv_fwd, _interp_tv_bwd)
 def grid_sample_interp_pallas(field: jnp.ndarray, pix_y: jnp.ndarray,
                               pix_x: jnp.ndarray, mode: str = "bicubic",
                               interpret: bool = False,
-                              chunk_rows: int | None = None) -> jnp.ndarray:
+                              chunk_rows: int | None = None,
+                              max_dy_pix: float | None = None) -> jnp.ndarray:
     """Drop-in replacement for ``grid_sample_interp`` (channels-last API).
 
     field ``[B, R, C, V]``, positions ``[B, H, W, V]`` → ``[B, H, W, V]``.
     ``chunk_rows`` overrides the row-chunking heuristic (0 disables,
-    None = auto: chunk when R ≥ _CHUNK_MIN_ROWS).
+    None = auto: never chunk).
+
+    ``max_dy_pix``: a caller-provided bound on the row displacement
+    ``|pix_y − (arrival row + pad)|`` in pixels.  When given (and the
+    banding gate finds it profitable — see ``_band_spec``), positions are
+    explicitly clamped to that bound and the row-banded kernels run on a
+    small static band of rows per position block instead of all R.
     """
     if mode not in ("bilinear", "bicubic"):
         raise ValueError(f"mode must be bilinear|bicubic, got {mode!r}")
     B, R, C, V = field.shape
     _, H, W, _ = pix_y.shape
+    band = _band_spec(H, W, R, mode, max_dy_pix)
+    pix_y = pix_y.astype(jnp.float32)
+    if band is not None:
+        # enforce the bound the banding relies on: arrival padded row ± m
+        pad, m = band[3], band[4]
+        arr = jax.lax.broadcasted_iota(jnp.float32, (1, H, 1, 1), 1) + pad
+        pix_y = jnp.clip(pix_y, arr - m, arr + m)
     field_t = jnp.moveaxis(field, -1, 1)                       # [B, V, R, C]
-    py_t = jnp.moveaxis(pix_y.astype(jnp.float32).reshape(B, H * W, V), -1, 1)
+    py_t = jnp.moveaxis(pix_y.reshape(B, H * W, V), -1, 1)
     px_t = jnp.moveaxis(pix_x.astype(jnp.float32).reshape(B, H * W, V), -1, 1)
-    out_t = _interp_tv(field_t, py_t, px_t, mode, interpret, chunk_rows)
+    out_t = _interp_tv(field_t, py_t, px_t, mode, interpret, chunk_rows, band)
     out = jnp.moveaxis(out_t, 1, -1).reshape(B, H, W, V)
     return out.astype(field.dtype)

@@ -179,3 +179,88 @@ def test_chunk_heuristics(monkeypatch):
 # (bf16 weight generation "GEN16" was removed: v5e Mosaic supports neither
 # 16-bit comparisons nor 32→16-bit mask relayout, so it cannot compile on
 # the target — see the dead-end note in ops/interp_pallas.py.)
+
+
+# -- row banding --------------------------------------------------------------
+#
+# The banded kernels (interp_pallas._band_spec) must be bit-equivalent to the
+# unbanded kernels whenever positions respect the displacement bound (the
+# extra rows the unbanded kernel sums over carry exactly-zero weights), and
+# must clamp positions to the bound otherwise.
+
+
+def _banded_setup(mode="bicubic", m=2.0, seed=4, V=4, H=32, W=16):
+    """A grid tall enough for banding to pass the profitability gate."""
+    pad = 2 if mode == "bicubic" else 1
+    Hp, Wp = H + 2 * pad, W + 2 * pad
+    rng = np.random.default_rng(seed)
+    field = rng.normal(size=(1, Hp, Wp, V)).astype(np.float32)
+    arr = (np.arange(H, dtype=np.float32) + pad)[None, :, None, None]
+    py = (arr + rng.uniform(-m, m, size=(1, H, W, V))).astype(np.float32)
+    px = rng.uniform(1.0, Wp - 3.0, size=(1, H, W, V)).astype(np.float32)
+    return jnp.asarray(field), jnp.asarray(py), jnp.asarray(px)
+
+
+def test_band_spec_gates():
+    from paradis_tpu.ops.interp_pallas import _band_spec
+
+    assert _band_spec(32, 16, 36, "bicubic", None) is None  # no bound given
+    assert _band_spec(32, 16, 36, "bicubic", 2.0) is not None
+    # flagship-like: band not meaningfully smaller than R → rejected
+    assert _band_spec(32, 64, 36, "bicubic", 4.0) is None
+    # high-res-like: engaged, small band
+    spec = _band_spec(128, 256, 132, "bicubic", 12.4)
+    assert spec is not None
+    rpb, band_rows, halo_lo, pad, mpix = spec
+    assert band_rows <= 48 and band_rows % 8 == 0 and pad == 2
+
+
+def test_band_env_kill(monkeypatch):
+    from paradis_tpu.ops.interp_pallas import _band_spec
+
+    monkeypatch.setenv("PARADIS_INTERP_BAND", "0")
+    assert _band_spec(128, 256, 132, "bicubic", 12.4) is None
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+def test_banded_forward_matches_unbanded(mode):
+    field, py, px = _banded_setup(mode)
+    banded = np.asarray(grid_sample_interp_pallas(
+        field, py, px, mode, interpret=True, max_dy_pix=2.0))
+    plain = np.asarray(grid_sample_interp_pallas(
+        field, py, px, mode, interpret=True))
+    # extra rows in the unbanded contraction carry exactly-zero weights
+    np.testing.assert_allclose(banded, plain, atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+def test_banded_gradients_match_unbanded(mode):
+    field, py, px = _banded_setup(mode, seed=5, V=2)
+    py = jnp.floor(py) + 0.37
+    px = jnp.floor(px) + 0.61
+
+    def loss(f, y, x, band):
+        out = grid_sample_interp_pallas(f, y, x, mode, interpret=True,
+                                        max_dy_pix=band)
+        return jnp.sum(out ** 2)
+
+    gb = jax.grad(loss, argnums=(0, 1, 2))(field, py, px, 3.0)
+    gp = jax.grad(loss, argnums=(0, 1, 2))(field, py, px, None)
+    for a, b in zip(gb, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   rtol=1e-5)
+
+
+def test_banded_clamps_out_of_bound_rows():
+    field, py, px = _banded_setup("bicubic", m=1.0, seed=6)
+    # push some departure rows far beyond the bound
+    wild = py.at[0, 3, :, :].add(20.0).at[0, 20, :, :].add(-20.0)
+    banded = np.asarray(grid_sample_interp_pallas(
+        field, wild, px, "bicubic", interpret=True, max_dy_pix=2.0))
+    # reference: unbanded at the explicitly clamped positions
+    pad = 2
+    arr = (jnp.arange(32, dtype=jnp.float32) + pad)[None, :, None, None]
+    clamped = jnp.clip(wild, arr - 2.0, arr + 2.0)
+    plain = np.asarray(grid_sample_interp_pallas(
+        field, clamped, px, "bicubic", interpret=True))
+    np.testing.assert_allclose(banded, plain, atol=1e-6, rtol=1e-6)
