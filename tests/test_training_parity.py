@@ -87,9 +87,15 @@ def _torch_autoregress(model_input, output):
     return torch.cat([model_input[:, N_COMMON:lag], common], dim=1)
 
 
-def _torch_training(ref, batches):
+def _torch_training(ref, batches, loss_mod=None):
     """The reference manual-optimization loop, transcribed from
-    ``trainer.py:498-587`` (see module docstring)."""
+    ``trainer.py:498-587`` (see module docstring).
+
+    ``loss_mod``: optional torch loss module (e.g. the reference's actual
+    ``ParadisLoss``); defaults to plain MSE.
+    """
+    loss_fn = loss_mod if loss_mod is not None \
+        else torch.nn.functional.mse_loss
     opt = torch.optim.AdamW(ref.parameters(), lr=LR, betas=(B1, B2),
                             eps=1e-8, weight_decay=WD)
     per_step_losses = []  # [MICRO, S]
@@ -111,7 +117,7 @@ def _torch_training(ref, batches):
             model_input = torch.cat(
                 [input_data, forcings_step, constants], dim=2).squeeze(1)
             output = ref(model_input)
-            loss = torch.nn.functional.mse_loss(output, true_data[:, step])
+            loss = loss_fn(output, true_data[:, step])
             row.append(float(loss.detach()))
             chunk_loss = chunk_loss + loss / (S * ACCUM)         # trainer.py:560
             input_data = _torch_autoregress(model_input, output).unsqueeze(1)
@@ -141,9 +147,10 @@ def _train_cfg(interpolation: str):
     return cfg
 
 
-def _jax_training(cfg, model, params, batches):
+def _jax_training(cfg, model, params, batches, loss_fn=None):
     optimizer = build_optimizer(cfg, params)
-    loss_fn = lambda out, tgt: jnp.mean((out - tgt) ** 2)  # noqa: E731
+    if loss_fn is None:
+        loss_fn = lambda out, tgt: jnp.mean((out - tgt) ** 2)  # noqa: E731
     train_step, _ = make_train_step(model, loss_fn, cfg, optimizer, donate=False)
     state = create_train_state(params, optimizer)
     per_step_losses = []
@@ -154,18 +161,73 @@ def _jax_training(cfg, model, params, batches):
     return state, np.asarray(per_step_losses)
 
 
+def _weighted_huber_losses():
+    """The reference's ACTUAL ``ParadisLoss`` (imported from the checkout)
+    and our ``WeightedLoss`` built with identical var × pressure × latitude
+    weights (reference utils/loss.py:191-231,262-283)."""
+    from utils.loss import ParadisLoss as RefLoss  # /root/reference on path
+
+    from paradis_tpu.sphere.geometry import (
+        equiangular_lat_lon,
+        latitude_weights,
+    )
+    from paradis_tpu.train.loss import WeightedLoss, pressure_weights
+
+    lat, _ = equiangular_lat_lon(H, W, include_poles=False)
+    levels = [200.0, 500.0, 850.0]
+    n_lev = len(levels)
+    n_atmo = OUT_DIM - 2
+    names = [f"{v}_h{int(L)}" for v in ("ta", "ua", "qa", "za")[: n_atmo // n_lev]
+             for L in levels] + ["s1", "s2"]
+    var_w = np.linspace(0.5, 1.5, OUT_DIM).astype(np.float32)
+    ref_loss = RefLoss(
+        loss_function="reversed_huber",
+        lat_grid=torch.tensor(lat, dtype=torch.float32),
+        pressure_levels=torch.tensor(levels),
+        num_features=OUT_DIM,
+        num_surface_vars=2,
+        var_loss_weights=torch.tensor(var_w),
+        output_name_order=names,
+        delta_loss=1.0,
+        apply_latitude_weights=True,
+    )
+    pw = pressure_weights(np.asarray(levels, np.float32))
+    fw = var_w.copy()
+    for i in range(0, n_atmo, n_lev):
+        fw[i : i + n_lev] = var_w[i : i + n_lev] * pw
+    ours = WeightedLoss(kind="reversed_huber", feature_weights=fw,
+                        lat_weights=latitude_weights(lat).astype(np.float32))
+    return ref_loss, ours
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("interpolation", ["bilinear", "bicubic"])
-def test_training_dynamics_parity_with_reference(interpolation):
+@pytest.mark.parametrize("interpolation,loss", [
+    ("bilinear", "mse"),
+    ("bicubic", "mse"),
+    ("bicubic", "weighted_huber"),
+])
+def test_training_dynamics_parity_with_reference(interpolation, loss):
     cfg = _train_cfg(interpolation)
     ref = _build_reference(cfg)
     ref.train()
     model, params = _build_jax(cfg)
     _copy_all(ref, params)
 
+    loss_mod = jax_loss = None
+    if loss == "weighted_huber":
+        loss_mod, jax_loss = _weighted_huber_losses()
+        # scalar parity of the loss modules themselves before the loop
+        rng = np.random.default_rng(9)
+        p = rng.normal(size=(1, OUT_DIM, H, W)).astype(np.float32)
+        t = rng.normal(size=(1, OUT_DIM, H, W)).astype(np.float32)
+        a = float(loss_mod(torch.from_numpy(p), torch.from_numpy(t)))
+        b = float(jax_loss(jnp.moveaxis(jnp.asarray(p), 1, -1),
+                           jnp.moveaxis(jnp.asarray(t), 1, -1)))
+        np.testing.assert_allclose(b, a, rtol=1e-6)
+
     batches = _make_batches()
-    theirs = _torch_training(ref, batches)
-    state, ours = _jax_training(cfg, model, params, batches)
+    theirs = _torch_training(ref, batches, loss_mod=loss_mod)
+    state, ours = _jax_training(cfg, model, params, batches, loss_fn=jax_loss)
 
     assert theirs.shape == ours.shape == (MICRO, S)
     # Per-step losses at every microbatch: any gradient/TBPTT/accumulation
