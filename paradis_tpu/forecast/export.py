@@ -22,9 +22,10 @@ Artifact layout (a directory):
 Params stay an *argument* (not baked-in constants) so the artifact is small
 and one export serves many checkpoints of the same architecture.
 ``load_artifact`` returns a ``ServingModel`` that reproduces the exporting
-model's outputs up to fp32 reassociation from the reload-side recompile
-(~2e-7 at toy scale; same StableHLO, freshly scheduled) — verified in
-``tests/test_export.py``.
+model's outputs up to compute-dtype reassociation from the reload-side
+recompile (same StableHLO, freshly scheduled): ~2e-7 in fp32 at toy scale
+(``tests/test_export.py``), ~1 bf16 ulp (0.0098) for the bf16 flagship
+model driven on a real TPU chip (BASELINE.md round-4 table).
 """
 
 from __future__ import annotations
