@@ -11,8 +11,9 @@ WB2-layout zarr stores.
 
 Design notes (TPU-first, not a port):
   * arrays are channels-last ``[batch, lat, lon, channel]`` (lane dim = channels),
-  * the per-layer physics loop is a single-trace ``flax.linen.scan`` with
-    optional rematerialisation,
+  * the per-layer physics loop is a fully-unrolled Python loop under
+    ``nn.map_variables`` (stored params stay stacked ``[L, ...]``; ``nn.scan``
+    is the opt-in compile-time lever) with optional rematerialisation,
   * the semi-Lagrangian gather-interpolate runs as a Pallas TPU kernel with a
     pure-XLA ``take_along_axis`` fallback,
   * parallelism is expressed with ``jax.sharding.Mesh`` + NamedSharding and

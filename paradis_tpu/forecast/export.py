@@ -100,7 +100,17 @@ def save_artifact(out_dir, model, params, cfg, *, batch_size: int, nlat: int,
     exported = export_forward(model, params, batch_size, nlat, nlon,
                               input_dim, platforms=platforms)
     (out / _FORWARD_FILE).write_bytes(exported.serialize())
-    np.savez(out / _PARAMS_FILE, **_flatten_params(params))
+    flat = _flatten_params(params)
+    # Fail at EXPORT time (not at Exported.call in the serving process) if the
+    # params tree cannot round-trip through the "/"-joined flat layout — e.g.
+    # a list/tuple node whose SequenceKey indices would rebuild as a dict of
+    # string keys and only surface as a treedef mismatch at load.
+    if (jax.tree_util.tree_structure(_unflatten_params(flat))
+            != jax.tree_util.tree_structure(params)):
+        raise ValueError(
+            "params tree does not round-trip through the flat npz layout "
+            "(non-dict container nodes?); refusing to write a broken artifact")
+    np.savez(out / _PARAMS_FILE, **flat)
 
     manifest = {
         "format": "paradis_tpu.export.v1",

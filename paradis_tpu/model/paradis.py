@@ -6,12 +6,17 @@ Architecture (reference ``model/paradis.py:31-269``):
   velocity net → semi-Lagrangian advection (gated by a learned per-channel
   ``alpha_adv``) → diffusion → reaction(hidden ⊕ static).
 
-TPU-first structure: the N identical physics layers run as a single-trace
-``flax.linen.scan`` over stacked per-layer parameters (compile once, not N
-times), optionally rematerialised (the analogue of the reference's
-``torch.utils.checkpoint`` wrapping, paradis.py:62-70).  All spatial ops are
-channels-last; compute dtype is configurable (bf16 for the AMP-equivalent
-policy) with float32 parameters.
+TPU-first structure: the N identical physics layers run as a fully-unrolled
+Python loop under ``nn.map_variables`` (``_LayerLoop``) — parameters stay in
+the stacked ``[num_layers, ...]`` layout (checkpoints, batched Newton–Schulz
+and weight transplants all see one tree) while the compute graph is
+straight-line code, avoiding the ~9 ms/step of residual-stacking copies that
+differentiating ``nn.scan`` costs at flagship size (see ``_LayerLoop``).
+``nn.scan`` remains available as an opt-in compile-time lever
+(``model.scan_unroll > 0``).  Layers are optionally rematerialised (the
+analogue of the reference's ``torch.utils.checkpoint`` wrapping,
+paradis.py:62-70).  All spatial ops are channels-last; compute dtype is
+configurable (bf16 for the AMP-equivalent policy) with float32 parameters.
 """
 
 from __future__ import annotations

@@ -81,9 +81,20 @@ def interpolate(field, pix_y, pix_x, mode: str, impl: str = "auto",
         contraction would materialize ≈6.6 GB of weights/layer at 1.40625°);
       * on CPU/GPU the gather path wins at size, the dense path at toy sizes.
     ``pallas`` / ``xla`` / ``gather`` force a backend.
+
+    ``max_dy_pix`` is part of the op's contract, not a Pallas detail: when
+    given, departure rows are clamped to ±``max_dy_pix`` of their arrival row
+    on EVERY backend, so a config with ``compute.interp_band_rad`` set cannot
+    yield different numerics across impls when the bound binds.
     """
     import jax
 
+    if max_dy_pix is not None:
+        H = pix_y.shape[1]
+        pad = (field.shape[1] - H) // 2
+        arr = jax.lax.broadcasted_iota(jnp.float32, (1, H, 1, 1), 1) + pad
+        pix_y = jnp.clip(pix_y.astype(jnp.float32),
+                         arr - max_dy_pix, arr + max_dy_pix)
     if impl in ("auto", "auto_train"):
         B, R, C, V = field.shape
         P = pix_y.shape[1] * pix_y.shape[2]

@@ -161,39 +161,61 @@ def _bwd_contrib(f, wx2, py, g, mode, r0, rw, P, cdt, out_dtype):
     return dpy, dpx, partial
 
 
-def _fwd_kernel(field_ref, py_ref, px_ref, out_ref, *, mode, cdt):
+def _fwd_kernel(field_ref, py_ref, px_ref, out_ref, *, mode, cdt, n_sub=1):
+    """Unchunked forward, optionally software-pipelined over position
+    sub-blocks.
+
+    ``n_sub > 1`` splits the position block into statically-unrolled
+    sub-blocks: each sub-block's (VPU) weight generation is an independent
+    dataflow chain from the previous sub-block's (MXU) contraction, so Mosaic
+    can overlap gen(i+1) with dots(i) instead of serializing one monolithic
+    gen-then-dot body.  No ``pl.when`` guards, no dynamic slices — distinct
+    from the recorded row-chunking/banding dead ends.
+    """
     R, C = field_ref.shape[-2], field_ref.shape[-1]
-    py = py_ref[0]                                               # [vb, P]
-    px = px_ref[0]
+    P = py_ref.shape[-1]
     f = field_ref[0].astype(cdt)                                 # [vb, R, C]
-    wxT = _weights_T(px, C, mode).astype(cdt)                    # [vb, C, P]
-    out_ref[0] = _fwd_contrib(f, wxT, py, mode, 0, R, cdt)
+    sp = P // n_sub
+    for s in range(n_sub):
+        sl = slice(s * sp, (s + 1) * sp)
+        py = py_ref[0, :, sl]                                    # [vb, sp]
+        px = px_ref[0, :, sl]
+        wxT = _weights_T(px, C, mode).astype(cdt)                # [vb, C, sp]
+        out_ref[0, :, sl] = _fwd_contrib(f, wxT, py, mode, 0, R, cdt)
 
 
 def _bwd_kernel(field_ref, py_ref, px_ref, g_ref,
-                dfield_ref, dpy_ref, dpx_ref, *, mode, cdt):
+                dfield_ref, dpy_ref, dpx_ref, *, mode, cdt, n_sub=1):
+    """Unchunked backward; ``n_sub`` as in :func:`_fwd_kernel` (the d_field
+    partials of the sub-blocks sum associatively before the cross-position-
+    block accumulation)."""
     R, C = field_ref.shape[-2], field_ref.shape[-1]
     P = py_ref.shape[-1]
-    py = py_ref[0]                                               # [vb, P]
-    px = px_ref[0]
     f = field_ref[0].astype(cdt)                                 # [vb, R, C]
-    g = g_ref[0]                                                 # [vb, P]
-    wxT, dwxT = _weights_T(px, C, mode, derivative=True)         # [vb, C, P]
-    wx2 = jnp.concatenate([wxT, dwxT], axis=-1).astype(cdt)      # [vb, C, 2P]
-    dpy, dpx, partial = _bwd_contrib(f, wx2, py, g, mode, 0, R, P, cdt,
-                                     dfield_ref.dtype)
-    dpy_ref[0] = dpy
-    dpx_ref[0] = dpx
+    sp = P // n_sub
+    acc = None
+    for s in range(n_sub):
+        sl = slice(s * sp, (s + 1) * sp)
+        py = py_ref[0, :, sl]                                    # [vb, sp]
+        px = px_ref[0, :, sl]
+        g = g_ref[0, :, sl]
+        wxT, dwxT = _weights_T(px, C, mode, derivative=True)     # [vb, C, sp]
+        wx2 = jnp.concatenate([wxT, dwxT], axis=-1).astype(cdt)  # [vb, C, 2sp]
+        dpy, dpx, partial = _bwd_contrib(f, wx2, py, g, mode, 0, R, sp, cdt,
+                                         dfield_ref.dtype)
+        dpy_ref[0, :, sl] = dpy
+        dpx_ref[0, :, sl] = dpx
+        acc = partial if acc is None else acc + partial
 
     # d_field accumulates across position blocks (the grid revisits this
     # output block with p innermost)
     @pl.when(pl.program_id(2) == 0)
     def _():
-        dfield_ref[0] = partial
+        dfield_ref[0] = acc
 
     @pl.when(pl.program_id(2) != 0)
     def _():
-        dfield_ref[0] = dfield_ref[0] + partial
+        dfield_ref[0] = dfield_ref[0] + acc
 
 
 def _tap_row_range(pos, mode):
@@ -266,6 +288,20 @@ def _chunk_rows(R: int, override) -> int:
     if env is not None:
         return int(env)
     return 0
+
+
+def _n_sub(pb: int) -> int:
+    """Position sub-blocks per kernel instance (software-pipelining factor).
+
+    ``PARADIS_INTERP_SUBBLOCK`` overrides (chip A/B knob).  Each sub-block
+    must stay a 128-multiple of positions (full lanes); factors that don't
+    divide are rounded down.  Default 1 — flip only on a measured win.
+    """
+    env = os.environ.get("PARADIS_INTERP_SUBBLOCK")
+    n = int(env) if env else 1
+    while n > 1 and (pb % n or (pb // n) % 128):
+        n //= 2
+    return max(n, 1)
 
 
 def _pick_vb(V: int) -> int:
@@ -497,9 +533,10 @@ def _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows, band=None):
     if rw:
         field_t, R = _pad_rows(field_t, R, rw)
         kernel = functools.partial(_fwd_kernel_chunked, rw=rw)
+        pb = _pick_pb(P, vb, R, C, bwd=False, rw=rw)
     else:
-        kernel = _fwd_kernel
-    pb = _pick_pb(P, vb, R, C, bwd=False, rw=rw)
+        pb = _pick_pb(P, vb, R, C, bwd=False, rw=rw)
+        kernel = functools.partial(_fwd_kernel, n_sub=_n_sub(pb))
     grid = (B, V // vb, P // pb)
     return pl.pallas_call(
         functools.partial(kernel, mode=mode,
@@ -565,9 +602,10 @@ def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret, chunk_rows, band=None):
     if rw:
         field_t, R = _pad_rows(field_t, R, rw)
         kernel = functools.partial(_bwd_kernel_chunked, rw=rw)
+        pb = _pick_pb(P, vb, R, C, bwd=True, rw=rw)
     else:
-        kernel = _bwd_kernel
-    pb = _pick_pb(P, vb, R, C, bwd=True, rw=rw)
+        pb = _pick_pb(P, vb, R, C, bwd=True, rw=rw)
+        kernel = functools.partial(_bwd_kernel, n_sub=_n_sub(pb))
     # p is the innermost grid dim: the d_field output block is revisited
     # across p steps and accumulated in place
     grid = (B, V // vb, P // pb)

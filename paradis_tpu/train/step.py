@@ -66,8 +66,15 @@ def autoregress_next_input(dyn_input: jnp.ndarray, output: jnp.ndarray,
 
 
 def _rollout_segment(model_apply, loss_fn, params, dyn_input, targets, forcings,
-                     constants, num_common, n_time_inputs):
-    """Scan a contiguous rollout segment; returns (sum loss, final dyn, per-step)."""
+                     constants, num_common, n_time_inputs, diag_fn=None):
+    """Scan a contiguous rollout segment.
+
+    Returns ``(sum loss, final dyn, per-step losses, diags)`` where ``diags``
+    is ``diag_fn(out, target)`` stacked over steps (None when ``diag_fn`` is
+    None) — this is how per-channel diagnostics come out of the rollout the
+    model is already running instead of costing an extra forward (reference
+    computes them from outputs it already has, trainer.py:520-617).
+    """
 
     def body(dyn, xs):
         forcing_t, target_t = xs
@@ -77,14 +84,15 @@ def _rollout_segment(model_apply, loss_fn, params, dyn_input, targets, forcings,
         )
         out = model_apply(params, model_in)
         loss_t = loss_fn(out, target_t)
+        diag = diag_fn(out, target_t) if diag_fn is not None else None
         nxt = autoregress_next_input(dyn, out, num_common, n_time_inputs)
-        return nxt, loss_t
+        return nxt, (loss_t, diag)
 
     # scan over the step axis: [S, B, H, W, C]
-    final_dyn, losses = jax.lax.scan(
+    final_dyn, (losses, diags) = jax.lax.scan(
         body, dyn_input, (jnp.moveaxis(forcings, 1, 0), jnp.moveaxis(targets, 1, 0))
     )
-    return jnp.sum(losses), final_dyn, losses
+    return jnp.sum(losses), final_dyn, losses, diags
 
 
 def make_train_step(model, loss_fn, cfg, optimizer=None,
@@ -137,24 +145,40 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
 
         scale = 1.0 / (S * grad_accum)
 
-        def seg_loss(params, dyn, seg_targets, seg_forcings):
-            total, final_dyn, per_step = _rollout_segment(
-                lambda p, x: model.apply(p, x), loss_fn, params, dyn,
-                seg_targets, seg_forcings, constants, num_common_features, n_time,
-            )
-            return total * scale, (final_dyn, per_step)
+        def make_seg_loss(diag_fn):
+            def seg_loss(params, dyn, seg_targets, seg_forcings):
+                total, final_dyn, per_step, diags = _rollout_segment(
+                    lambda p, x: model.apply(p, x), loss_fn, params, dyn,
+                    seg_targets, seg_forcings, constants, num_common_features,
+                    n_time, diag_fn=diag_fn,
+                )
+                return total * scale, (final_dyn, per_step, diags)
+            return seg_loss
+
+        def _channel_diag(out, target_t):
+            # per-channel diagnostics from outputs the rollout already has
+            # (reference trainer.py:520-617) — no extra forward
+            return (loss_fn.per_channel(out, target_t, weighted=True),
+                    loss_fn.per_channel(out, target_t, weighted=False))
 
         grads = None
         dyn = dyn_input
         step_losses = []
-        for lo in bounds:
+        diag0 = None
+        for i, lo in enumerate(bounds):
             hi = min(lo + seg, S)
-            g_fn = jax.value_and_grad(seg_loss, has_aux=True)
-            (_, (dyn, per_step)), g = g_fn(
+            want_diag = deep_stats and i == 0
+            g_fn = jax.value_and_grad(make_seg_loss(
+                _channel_diag if want_diag else None), has_aux=True)
+            (_, (dyn, per_step, diags)), g = g_fn(
                 state.params, dyn, targets[:, lo:hi], forcings[:, lo:hi]
             )
             dyn = jax.lax.stop_gradient(dyn)
             step_losses.append(per_step)
+            if want_diag:
+                # step-0 row of the stacked diagnostics: identical to a fresh
+                # forward on the step-0 input with the pre-update params
+                diag0 = jax.tree.map(lambda a: a[0], diags)
             grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
 
         losses_all = jnp.concatenate(step_losses)  # [S]
@@ -162,18 +186,9 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
 
         micro = state.micro_step + 1
 
-        def _add_channel_diagnostics(metrics, params):
-            # per-channel diagnostics from a step-0 forward (cheap, explicit)
-            model_in = jnp.concatenate(
-                [dyn_input, forcings[:, 0],
-                 jnp.broadcast_to(constants, forcings[:, 0].shape[:1] + constants.shape[1:])],
-                axis=-1,
-            )
-            out0 = model.apply(params, model_in)
-            metrics["channel_loss_weighted"] = loss_fn.per_channel(
-                out0, targets[:, 0], weighted=True)
-            metrics["channel_loss_unweighted"] = loss_fn.per_channel(
-                out0, targets[:, 0], weighted=False)
+        def _add_channel_diagnostics(metrics):
+            metrics["channel_loss_weighted"] = diag0[0]
+            metrics["channel_loss_unweighted"] = diag0[1]
 
         if grad_accum == 1:
             # no accumulation: skip the 3 full-gradient-tree HBM passes of
@@ -195,7 +210,7 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
             }
             if deep_stats:
                 metrics["grads"] = grads
-                _add_channel_diagnostics(metrics, state.params)
+                _add_channel_diagnostics(metrics)
             return new_state, metrics
 
         accum = jax.tree.map(jnp.add, state.accum, grads)
@@ -233,7 +248,7 @@ def make_train_step(model, loss_fn, cfg, optimizer=None,
         }
         if deep_stats:
             metrics["grads"] = grads
-            _add_channel_diagnostics(metrics, state.params)
+            _add_channel_diagnostics(metrics)
         return new_state, metrics
 
     jitted = jax.jit(

@@ -112,3 +112,32 @@ def test_jit_and_grad():
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     # gradient must flow into the velocities (through departure points)
     assert float(jnp.abs(g[2]).sum()) > 0.0
+
+
+def test_max_dy_clamp_consistent_across_backends():
+    """With ``max_dy_pix`` set, the displacement clamp applies on EVERY
+    backend (not just pallas), so xla/gather numerics match when it binds."""
+    from paradis_tpu.ops.advection import interpolate
+
+    rng = np.random.default_rng(11)
+    B, H, W, V, pad = 1, 8, 16, 2, 2
+    field = jnp.asarray(rng.normal(size=(B, H + 2 * pad, W, V)),
+                        jnp.float32)
+    # rows displaced far beyond the bound: the clamp must bind
+    arr = jnp.arange(H, dtype=jnp.float32)[None, :, None, None] + pad
+    py = jnp.broadcast_to(arr, (B, H, W, V)) + jnp.asarray(
+        rng.uniform(-4.0, 4.0, size=(B, H, W, V)), jnp.float32)
+    px = jnp.asarray(rng.uniform(2.0, W - 3.0, size=(B, H, W, V)),
+                     jnp.float32)
+    m = 1.0
+    clamped_py = jnp.clip(py, arr - m, arr + m)
+    for impl in ("xla", "gather"):
+        got = np.asarray(interpolate(field, py, px, "bicubic", impl=impl,
+                                     max_dy_pix=m))
+        want = np.asarray(interpolate(field, clamped_py, px, "bicubic",
+                                      impl=impl))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # the clamp must actually have bound (else the test is vacuous)
+        unclamped = np.asarray(interpolate(field, py, px, "bicubic",
+                                           impl=impl))
+        assert np.abs(got - unclamped).max() > 1e-3

@@ -89,6 +89,45 @@ def test_position_block_accumulation(monkeypatch):
 
 
 @pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("n_sub", [2, 4])
+def test_subblock_parity(monkeypatch, mode, n_sub):
+    """Software-pipelined position sub-blocks (PARADIS_INTERP_SUBBLOCK):
+    forward and all three gradients must match the monolithic kernel."""
+    monkeypatch.delenv("PARADIS_INTERP_SUBBLOCK", raising=False)
+    # P = 8·64 = 512 → sp = 256/128 at n_sub = 2/4 (full 128-lane sub-blocks)
+    field, py, px = _setup(V=2, H=8, W=64, seed=7)
+    py = jnp.floor(py) + 0.37
+    px = jnp.floor(px) + 0.61
+
+    def loss(f, y, x):
+        return jnp.sum(grid_sample_interp_pallas(f, y, x, mode,
+                                                 interpret=True) ** 2)
+
+    base = np.asarray(grid_sample_interp_pallas(field, py, px, mode,
+                                                interpret=True))
+    g_base = jax.grad(loss, argnums=(0, 1, 2))(field, py, px)
+    monkeypatch.setenv("PARADIS_INTERP_SUBBLOCK", str(n_sub))
+    sub = np.asarray(grid_sample_interp_pallas(field, py, px, mode,
+                                               interpret=True))
+    g_sub = jax.grad(loss, argnums=(0, 1, 2))(field, py, px)
+    np.testing.assert_allclose(sub, base, atol=1e-6)
+    for a, b in zip(g_sub, g_base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_n_sub_lane_rounding(monkeypatch):
+    """Sub-block factors that would break 128-lane alignment round down."""
+    from paradis_tpu.ops.interp_pallas import _n_sub
+
+    monkeypatch.setenv("PARADIS_INTERP_SUBBLOCK", "4")
+    assert _n_sub(512) == 4
+    assert _n_sub(256) == 2   # 4 would give 64-lane sub-blocks
+    assert _n_sub(128) == 1
+    monkeypatch.delenv("PARADIS_INTERP_SUBBLOCK")
+    assert _n_sub(2048) == 1  # default stays monolithic until a measured win
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
 @pytest.mark.parametrize("rw", [8, 16])
 @pytest.mark.slow
 def test_chunked_rows_parity(mode, rw):
