@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 _FORWARD_FILE = "forward.shlo"
+_ROLLOUT_FILE = "rollout.shlo"
 _PARAMS_FILE = "params.npz"
 _MANIFEST_FILE = "manifest.json"
 _SEP = "/"
@@ -89,11 +90,53 @@ def export_forward(model, params, batch_size: int, nlat: int, nlon: int,
     return jax_export.export(jax.jit(forward), **kwargs)(p_spec, x_spec)
 
 
+def export_rollout(model, params, cfg, *, batch_size: int, nlat: int,
+                   nlon: int, n_common: int, dyn_dim: int, forcing_dim: int,
+                   const_dim: int, platforms: list[str] | None = None):
+    """``jax.export.Exported`` of the K-step scanned forecast rollout.
+
+    ``(params, input[B,H,W,dyn], forcings[B,S,H,W,F], constants[B,H,W,K])
+    -> stored [B,T,H,W,Cout]`` — the same jitted ``lax.scan`` program the
+    in-process forecast runs (``forecast.rollout.make_forecast_rollout``), so
+    a K-step forecast is ONE ``Exported.call`` dispatch instead of K
+    step-at-a-time calls through ``forward.shlo`` (each of which pays a
+    host round-trip and loses scan fusion/donation).
+    """
+    from paradis_tpu.forecast.rollout import make_forecast_rollout
+
+    S = int(cfg.model.forecast_steps)
+    rollout = make_forecast_rollout(model, cfg)
+
+    def fn(p, dyn, forcings, constants):
+        return rollout(p, {"input": dyn, "forcings": forcings,
+                           "constants": constants}, n_common)
+
+    p_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    specs = (
+        p_spec,
+        jax.ShapeDtypeStruct((batch_size, nlat, nlon, dyn_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, S, nlat, nlon, forcing_dim),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, nlat, nlon, const_dim), jnp.float32),
+    )
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = platforms
+    return jax_export.export(jax.jit(fn), **kwargs)(*specs)
+
+
 def save_artifact(out_dir, model, params, cfg, *, batch_size: int, nlat: int,
                   nlon: int, input_dim: int, output_dim: int, n_common: int,
                   feature_names: list[str] | None = None,
-                  platforms: list[str] | None = None) -> Path:
-    """Export + write the serving artifact directory; returns its path."""
+                  platforms: list[str] | None = None,
+                  include_rollout: bool = True) -> Path:
+    """Export + write the serving artifact directory; returns its path.
+
+    ``include_rollout`` additionally exports the scanned K-step rollout
+    (``rollout.shlo``, K = ``cfg.model.forecast_steps``) — the file a
+    forecast server should prefer (see the manifest's ``serving_note``).
+    """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -124,6 +167,34 @@ def save_artifact(out_dir, model, params, cfg, *, batch_size: int, nlat: int,
         "feature_names": feature_names,
         "config_yaml": cfg.to_yaml(),
     }
+
+    if include_rollout:
+        n_time = int(cfg.dataset.n_time_inputs)
+        dyn_dim = int(n_common) * n_time
+        forcing_dim = len(cfg.features.input.forcings) * n_time
+        const_dim = input_dim - dyn_dim - forcing_dim
+        S = int(cfg.model.forecast_steps)
+        out_freq = int(cfg.forecast.output_frequency)
+        exported_rollout = export_rollout(
+            model, params, cfg, batch_size=batch_size, nlat=nlat, nlon=nlon,
+            n_common=n_common, dyn_dim=dyn_dim, forcing_dim=forcing_dim,
+            const_dim=const_dim, platforms=platforms)
+        (out / _ROLLOUT_FILE).write_bytes(exported_rollout.serialize())
+        t_stored = len(range(0, S, out_freq))
+        manifest["rollout"] = {
+            "file": _ROLLOUT_FILE,
+            "forecast_steps": S,
+            "output_frequency": out_freq,
+            "input_shapes": {
+                "input": [batch_size, nlat, nlon, dyn_dim],
+                "forcings": [batch_size, S, nlat, nlon, forcing_dim],
+                "constants": [batch_size, nlat, nlon, const_dim],
+            },
+            "output_shape": [batch_size, t_stored, nlat, nlon, output_dim],
+        }
+        manifest["serving_note"] = (
+            "prefer rollout.shlo for multi-step forecasts (one dispatch, "
+            "scan-fused); forward.shlo is the step-at-a-time fallback")
     (out / _MANIFEST_FILE).write_text(json.dumps(manifest, indent=1))
     return out
 
@@ -136,13 +207,31 @@ class ServingModel:
     semantics, reference ``trainer.py:710-729``).
     """
 
-    def __init__(self, exported, params, manifest: dict):
+    def __init__(self, exported, params, manifest: dict,
+                 exported_rollout=None):
         self._exported = exported
+        self._exported_rollout = exported_rollout
         self.params = params
         self.manifest = manifest
 
     def __call__(self, x):
         return self._exported.call(self.params, x)
+
+    @property
+    def has_rollout(self) -> bool:
+        return self._exported_rollout is not None
+
+    def rollout(self, dyn_input, forcings, constants):
+        """One-dispatch K-step forecast via the exported scanned rollout.
+
+        Shapes per ``manifest["rollout"]["input_shapes"]``; returns the
+        stored trajectory ``[B, T, H, W, Cout]``.
+        """
+        if self._exported_rollout is None:
+            raise ValueError("artifact has no rollout.shlo (exported with "
+                             "include_rollout=False)")
+        return self._exported_rollout.call(self.params, dyn_input, forcings,
+                                           constants)
 
     @property
     def platforms(self):
@@ -152,7 +241,10 @@ class ServingModel:
 def load_artifact(artifact_dir) -> ServingModel:
     art = Path(artifact_dir)
     exported = jax_export.deserialize((art / _FORWARD_FILE).read_bytes())
+    rollout_path = art / _ROLLOUT_FILE
+    exported_rollout = (jax_export.deserialize(rollout_path.read_bytes())
+                        if rollout_path.exists() else None)
     with np.load(art / _PARAMS_FILE) as npz:
         params = _unflatten_params({k: npz[k] for k in npz.files})
     manifest = json.loads((art / _MANIFEST_FILE).read_text())
-    return ServingModel(exported, params, manifest)
+    return ServingModel(exported, params, manifest, exported_rollout)

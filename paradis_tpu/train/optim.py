@@ -37,7 +37,8 @@ _NS_COEFFS = (3.4445, -4.7750, 2.0315)
 
 
 def newton_schulz_batched(x: jnp.ndarray, steps: int = 5,
-                          eps: float = 1e-7, side: str = "left") -> jnp.ndarray:
+                          eps: float = 1e-7, side: str = "left",
+                          dtype=jnp.bfloat16) -> jnp.ndarray:
     """Quintic NS iteration over a stack of matrices ``[n, r, c]``.
 
     ``side="left"`` forms the gram on the row dimension (use when r ≤ c);
@@ -46,16 +47,19 @@ def newton_schulz_batched(x: jnp.ndarray, steps: int = 5,
     physical relayout to normalize orientation.
 
     Runs in bfloat16 (MXU) with float32 per-matrix norms, like the canonical
-    Muon.  Zero-padded rows/columns are invariant under the iteration (the
-    gram matrix stays block-diagonal), which the bucketed orthogonalization
-    below exploits to batch differently-shaped parameters together.
+    Muon (``dtype=jnp.float32`` opts into exact iteration — the
+    cross-framework oracle in tests/test_training_parity.py uses it to pin
+    NorMuon dynamics at fp32 tolerance).  Zero-padded rows/columns are
+    invariant under the iteration (the gram matrix stays block-diagonal),
+    which the bucketed orthogonalization below exploits to batch
+    differently-shaped parameters together.
     """
     a, b, c = _NS_COEFFS
-    y = x.astype(jnp.bfloat16)
+    y = x.astype(dtype)
     norm = jnp.linalg.norm(
         x.astype(jnp.float32).reshape(x.shape[0], -1), axis=1
     )
-    y = y / (norm + eps).astype(jnp.bfloat16)[:, None, None]
+    y = y / (norm + eps).astype(dtype)[:, None, None]
     for _ in range(steps):
         if side == "left":
             gram = y @ jnp.swapaxes(y, 1, 2)
@@ -104,7 +108,7 @@ def _orthogonalized_update(g: jnp.ndarray, ns_steps: int) -> jnp.ndarray:
 _PAD_WASTE_LIMIT = 3.0
 
 
-def _orthogonalize_tree(eff, ns_steps: int):
+def _orthogonalize_tree(eff, ns_steps: int, ns_dtype=jnp.bfloat16):
     """NS-orthogonalize every rank-≥2 leaf of ``eff`` with batched kernels.
 
     The model yields ~130 small matrices across ~25 leaves; running each
@@ -169,7 +173,8 @@ def _orthogonalize_tree(eff, ns_steps: int):
             # distributed.spatial_rules) each device orthogonalizes its slice
             # of the stack; identity otherwise
             big = _constrain_ns_batch(big)
-            orth = newton_schulz_batched(big, steps=ns_steps, side=side)
+            orth = newton_schulz_batched(big, steps=ns_steps, side=side,
+                                         dtype=ns_dtype)
             pos = 0
             for it in bucket:
                 i, shape, lead, fan, out, z = it
@@ -200,6 +205,7 @@ def scale_by_muon(
     normuon: bool = False,
     beta2: float = 0.95,
     eps: float = 1e-8,
+    ns_dtype=jnp.bfloat16,
 ) -> optax.GradientTransformation:
     """Momentum + Newton–Schulz orthogonalization (optionally NorMuon).
 
@@ -239,7 +245,7 @@ def scale_by_muon(
         else:
             eff = bufs
 
-        outs = _orthogonalize_tree(eff, ns_steps)
+        outs = _orthogonalize_tree(eff, ns_steps, ns_dtype)
 
         if not normuon:
             return outs, MuonState(momentum=bufs, nu=state.nu)
@@ -258,11 +264,17 @@ def scale_by_muon(
             for i, ax in enumerate(kept):
                 shape[ax] = nu.shape[i]
             o_hat = o / (jnp.sqrt(nu).reshape(shape) + eps)
-            # preserve the global norm of the orthogonalized update
-            scale = jnp.linalg.norm(o.reshape(-1)) / (
-                jnp.linalg.norm(o_hat.reshape(-1)) + eps
-            )
-            return o_hat * scale
+            # preserve the norm of the orthogonalized update PER MATRIX: for
+            # stacked [L, ...] leaves each layer gets its own rescale, exactly
+            # as dion treats every 2-D parameter independently (a global
+            # norm over the stack is what the torch training-dynamics oracle
+            # caught as a divergence, tests/test_training_parity.py)
+            norm_axes = tuple(axes) + (o.ndim - 1,)
+            on = jnp.sqrt(jnp.sum(jnp.square(o), axis=norm_axes,
+                                  keepdims=True))
+            ohn = jnp.sqrt(jnp.sum(jnp.square(o_hat), axis=norm_axes,
+                                   keepdims=True))
+            return o_hat * (on / (ohn + eps))
 
         outs = jax.tree_util.tree_map_with_path(normalize, outs, nu_tree)
         return outs, MuonState(momentum=bufs, nu=nu_tree)
@@ -303,7 +315,9 @@ def build_optimizer(cfg, params_example) -> optax.GradientTransformation:
     elif name in ("muon", "normuon"):
         muon_core = optax.chain(
             scale_by_muon(momentum=b1, normuon=(name == "normuon"), beta2=b2,
-                          ns_steps=int(ocfg.get("ns_steps", 5))),
+                          ns_steps=int(ocfg.get("ns_steps", 5)),
+                          ns_dtype=jnp.dtype(
+                              ocfg.get("ns_dtype", "bfloat16")).type),
             optax.add_decayed_weights(wd),
         )
         core = optax.multi_transform(

@@ -177,3 +177,37 @@ def test_cli_export(store, tmp_path):
     np.testing.assert_allclose(
         np.asarray(serving(x)), np.asarray(model.apply(params, x)),
         rtol=1e-5, atol=1e-5)
+
+
+def test_rollout_export_matches_inprocess(built, tmp_path):
+    """rollout.shlo (one-dispatch scanned rollout) == make_forecast_rollout."""
+    from paradis_tpu.forecast.rollout import make_forecast_rollout
+
+    cfg, ds, model, params = built
+    cfg = toy_config(ds.root_dir)
+    cfg.model.forecast_steps = 4
+    cfg.forecast.output_frequency = 2
+
+    art = save_artifact(
+        tmp_path / "art3", model, params, cfg, batch_size=1,
+        nlat=ds.lat_size, nlon=ds.lon_size,
+        input_dim=ds.num_in_features, output_dim=ds.num_out_features,
+        n_common=ds.num_common_features,
+    )
+    assert (art / "rollout.shlo").exists()
+    serving = load_artifact(art)
+    assert serving.has_rollout
+    mr = serving.manifest["rollout"]
+    assert mr["forecast_steps"] == 4 and mr["output_frequency"] == 2
+    assert "rollout.shlo" in serving.manifest["serving_note"]
+
+    rng = np.random.default_rng(9)
+    shapes = mr["input_shapes"]
+    batch = {k: jnp.asarray(rng.normal(size=shapes[k]), jnp.float32)
+             for k in ("input", "forcings", "constants")}
+    want = np.asarray(make_forecast_rollout(model, cfg)(
+        params, batch, ds.num_common_features))
+    got = np.asarray(serving.rollout(batch["input"], batch["forcings"],
+                                     batch["constants"]))
+    assert got.shape == tuple(mr["output_shape"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -87,17 +87,99 @@ def _torch_autoregress(model_input, output):
     return torch.cat([model_input[:, N_COMMON:lag], common], dim=1)
 
 
-def _torch_training(ref, batches, loss_mod=None):
+def _torch_ns5(x, steps=5, eps=1e-7):
+    """Quintic Newton–Schulz orthogonalization (Jordan et al., the iteration
+    dion's Triton kernels implement), fp32, gram always on the short side."""
+    a, b, c = 3.4445, -4.7750, 2.0315
+    transpose = x.shape[0] > x.shape[1]
+    y = x.t() if transpose else x
+    y = y / (y.norm() + eps)
+    for _ in range(steps):
+        g = y @ y.t()
+        y = a * y + (b * g + c * (g @ g)) @ y
+    return y.t() if transpose else y
+
+
+class _TorchNorMuon:
+    """dion's published NorMuon update rule, transcribed in torch (exactly as
+    the Lightning loop below transcribes ``trainer.py:498-587``): nesterov
+    momentum → quintic NS orthogonalization on the ``[out, fan_in]``
+    flattening (dion ``flatten=True``) → aspect rescale → per-output-neuron
+    second-moment EMA normalization with a global-norm-preserving rescale →
+    decoupled weight decay.  Param partition mirrors reference
+    ``build_param_groups`` (``trainer.py:24-64``): Linear/Conv weights to
+    NorMuon, biases and everything else to AdamW at the same lr/wd
+    (``trainer.py:337-364``, dion ``NorMuon(use_triton=True)``).
+    """
+
+    def __init__(self, model, lr, betas, weight_decay, ns_steps=5, eps=1e-8):
+        import torch.nn as nn
+
+        muon, adamw, seen = [], [], set()
+        for module in model.modules():
+            if isinstance(module,
+                          (nn.Linear, nn.Conv1d, nn.Conv2d, nn.Conv3d)):
+                w = getattr(module, "weight", None)
+                if w is not None and w.requires_grad and id(w) not in seen:
+                    muon.append(w)
+                    seen.add(id(w))
+                b = getattr(module, "bias", None)
+                if b is not None and b.requires_grad and id(b) not in seen:
+                    adamw.append(b)
+                    seen.add(id(b))
+        for p in model.parameters():
+            if p.requires_grad and id(p) not in seen:
+                adamw.append(p)
+                seen.add(id(p))
+        assert muon and adamw, "partition must split the model"
+        self.muon = muon
+        self.momentum = [torch.zeros_like(p) for p in muon]
+        self.nu = [torch.zeros(p.shape[0]) for p in muon]
+        self.lr, (self.b1, self.b2) = lr, betas
+        self.wd, self.ns_steps, self.eps = weight_decay, ns_steps, eps
+        self.adamw = torch.optim.AdamW(adamw, lr=lr, betas=betas, eps=1e-8,
+                                       weight_decay=weight_decay)
+
+    def zero_grad(self):
+        self.adamw.zero_grad()
+        for p in self.muon:
+            p.grad = None
+
+    @torch.no_grad()
+    def step(self):
+        import math
+
+        self.adamw.step()
+        for p, m, nu in zip(self.muon, self.momentum, self.nu):
+            g = p.grad
+            m.mul_(self.b1).add_(g)
+            u = g + self.b1 * m                       # nesterov
+            g2 = u.reshape(u.shape[0], -1)            # [out, fan_in]
+            o = _torch_ns5(g2.float(), self.ns_steps)
+            o = o * math.sqrt(max(1.0, o.shape[0] / o.shape[1]))
+            ms = o.pow(2).mean(dim=1)                 # per-output-neuron
+            nu.mul_(self.b2).add_(ms, alpha=1.0 - self.b2)
+            o_hat = o / (nu.sqrt().unsqueeze(1) + self.eps)
+            o_hat = o_hat * (o.norm() / (o_hat.norm() + self.eps))
+            p.mul_(1.0 - self.lr * self.wd)           # decoupled weight decay
+            p.add_(o_hat.reshape(p.shape), alpha=-self.lr)
+
+
+def _torch_training(ref, batches, loss_mod=None, optimizer="adamw"):
     """The reference manual-optimization loop, transcribed from
     ``trainer.py:498-587`` (see module docstring).
 
     ``loss_mod``: optional torch loss module (e.g. the reference's actual
-    ``ParadisLoss``); defaults to plain MSE.
+    ``ParadisLoss``); defaults to plain MSE.  ``optimizer``: ``adamw`` or the
+    production ``normuon`` (reference ``trainer.py:337-364``).
     """
     loss_fn = loss_mod if loss_mod is not None \
         else torch.nn.functional.mse_loss
-    opt = torch.optim.AdamW(ref.parameters(), lr=LR, betas=(B1, B2),
-                            eps=1e-8, weight_decay=WD)
+    if optimizer == "normuon":
+        opt = _TorchNorMuon(ref, lr=LR, betas=(B1, B2), weight_decay=WD)
+    else:
+        opt = torch.optim.AdamW(ref.parameters(), lr=LR, betas=(B1, B2),
+                                eps=1e-8, weight_decay=WD)
     per_step_losses = []  # [MICRO, S]
     for batch_idx, b in enumerate(batches):
         input_data = torch.from_numpy(
@@ -132,10 +214,14 @@ def _torch_training(ref, batches, loss_mod=None):
     return np.asarray(per_step_losses)
 
 
-def _train_cfg(interpolation: str):
+def _train_cfg(interpolation: str, optimizer: str = "adamw"):
     cfg = _cfg()
     cfg.model.adv_interpolation = interpolation
-    cfg.training.optimizer.name = "adamw"
+    cfg.training.optimizer.name = optimizer
+    # fp32 NS on both sides: the oracle pins the update RULE at fp32
+    # tolerance; the production bf16 iteration is a precision choice covered
+    # by tests/test_optim.py self-consistency
+    cfg.training.optimizer.ns_dtype = "float32"
     cfg.training.optimizer.lr = LR
     cfg.training.optimizer.beta1 = B1
     cfg.training.optimizer.beta2 = B2
@@ -201,13 +287,21 @@ def _weighted_huber_losses():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("interpolation,loss", [
-    ("bilinear", "mse"),
-    ("bicubic", "mse"),
-    ("bicubic", "weighted_huber"),
+@pytest.mark.parametrize("interpolation,loss,optimizer", [
+    ("bilinear", "mse", "adamw"),
+    ("bicubic", "mse", "adamw"),
+    ("bicubic", "weighted_huber", "adamw"),
+    # the PRODUCTION optimizer (reference trains with dion NorMuon,
+    # trainer.py:337-364) — oracle-checked on both interp modes, and once
+    # through the reference's actual weighted loss (the full production
+    # training configuration)
+    ("bilinear", "mse", "normuon"),
+    ("bicubic", "mse", "normuon"),
+    ("bicubic", "weighted_huber", "normuon"),
 ])
-def test_training_dynamics_parity_with_reference(interpolation, loss):
-    cfg = _train_cfg(interpolation)
+def test_training_dynamics_parity_with_reference(interpolation, loss,
+                                                 optimizer):
+    cfg = _train_cfg(interpolation, optimizer)
     ref = _build_reference(cfg)
     ref.train()
     model, params = _build_jax(cfg)
@@ -226,7 +320,8 @@ def test_training_dynamics_parity_with_reference(interpolation, loss):
         np.testing.assert_allclose(b, a, rtol=1e-6)
 
     batches = _make_batches()
-    theirs = _torch_training(ref, batches, loss_mod=loss_mod)
+    theirs = _torch_training(ref, batches, loss_mod=loss_mod,
+                             optimizer=optimizer)
     state, ours = _jax_training(cfg, model, params, batches, loss_fn=jax_loss)
 
     assert theirs.shape == ours.shape == (MICRO, S)
@@ -239,8 +334,13 @@ def test_training_dynamics_parity_with_reference(interpolation, loss):
     # guards against a vacuous pass where no side ever updates.
     assert not np.allclose(theirs[0], theirs[-1], rtol=1e-3)
 
-    # Final parameters after 6 AdamW steps: transplant our trained params
+    # Final parameters after 6 optimizer steps: transplant our trained params
     # into a fresh reference skeleton and diff state_dicts leaf by leaf.
+    # NorMuon gets a looser absolute floor: NS orthogonalization is sign-like
+    # along near-degenerate gradient directions, so fp32-level noise amplifies
+    # to ~1e-5 absolute on near-zero leaves while the per-step losses (checked
+    # above, every microbatch) still agree at 2e-5.
+    atol = 2e-6 if optimizer == "adamw" else 5e-5
     ref_final = _build_reference(cfg)
     _copy_all(ref_final, jax.device_get(state.params))
     sd_trained = ref.state_dict()
@@ -250,5 +350,5 @@ def test_training_dynamics_parity_with_reference(interpolation, loss):
         a = sd_trained[key].detach().numpy()
         b = sd_ours[key].numpy()
         np.testing.assert_allclose(
-            b, a, rtol=5e-4, atol=2e-6,
+            b, a, rtol=5e-4, atol=atol,
             err_msg=f"post-training parameter divergence at {key}")
