@@ -35,6 +35,24 @@ from paradis_tpu.utils.logging import MetricsLogger, save_run_snapshot
 log = logging.getLogger("paradis_tpu")
 
 
+def _host_rss_mb() -> float:
+    """Current resident set size in MB (from /proc; 0.0 where unavailable)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * (4096 / 1e6)
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def _jit_cache_size(fn) -> int:
+    """Compiled-signature count of a jitted callable (retrace watch)."""
+    try:
+        return int(fn._cache_size())
+    except Exception:
+        return -1
+
+
 class NaNLossError(RuntimeError):
     pass
 
@@ -287,6 +305,11 @@ class Trainer:
                         "samples_per_sec": bsz / max(dt, 1e-9),
                         "grad_norm": float(m["grad_norm"]),
                         "forecast_steps": batch["target"].shape[1],
+                        # soak observability: leak/retrace watch over long
+                        # runs (host RSS in MB; jit cache entries — growth
+                        # after warmup means shape/dtype churn is retracing)
+                        "host_rss_mb": _host_rss_mb(),
+                        "jit_cache_entries": _jit_cache_size(self.train_step),
                     })
                     if "grads" in m:
                         self._log_deep_stats(step, m)

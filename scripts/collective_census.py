@@ -6,7 +6,7 @@ program (VERDICT r2 weak #1): gradient all-reduces, halo collective-permutes,
 FSDP parameter all-gathers, and anything unexpected.
 
 Usage: python scripts/collective_census.py [n_devices] [--loss=reversed_huber|amse]
-       [--steps=S] [--accum=N] [--scan-unroll=K]
+       [--steps=S] [--accum=N] [--scan-unroll=K] [--mesh=data,lat,space]
 
 Also prints the compile wall-clock (VERDICT r3 weak #3: multichip compile
 time must be measured, and --scan-unroll is the lever).
@@ -26,7 +26,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def build_sharded_step(n_devices: int, fsdp: bool = True,
                        loss: str = "reversed_huber", steps: int = 1,
-                       accum: int = 1, scan_unroll: int | None = None):
+                       accum: int = 1, scan_unroll: int | None = None,
+                       mesh_shape: tuple[int, int, int] | None = None):
     """(lowered-compilable step, state, batch, n_common) on an n-device mesh."""
     import jax
     import jax.numpy as jnp
@@ -48,9 +49,13 @@ def build_sharded_step(n_devices: int, fsdp: bool = True,
     if steps > 1:
         cfg.training.optimizer.detach_gradient_every = max(1, steps // 2)
 
-    lat = 2 if n_devices % 4 == 0 else 1
-    space = 2 if n_devices % 2 == 0 else 1
-    data = n_devices // (lat * space)
+    if mesh_shape is not None:
+        data, lat, space = mesh_shape
+        assert data * lat * space == n_devices, "mesh must use all devices"
+    else:
+        lat = 2 if n_devices % 4 == 0 else 1
+        space = 2 if n_devices % 2 == 0 else 1
+        data = n_devices // (lat * space)
     mesh = create_mesh(data=data, lat=lat, space=space)
 
     H, W = d["nlat"], d["nlon"]
@@ -118,6 +123,8 @@ def main():
     steps = int(opts.get("steps", 1))
     accum = int(opts.get("accum", 1))
     scan_unroll = int(opts["scan-unroll"]) if "scan-unroll" in opts else None
+    mesh_shape = (tuple(int(v) for v in opts["mesh"].split(","))
+                  if "mesh" in opts else None)
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -132,7 +139,9 @@ def main():
         pass
 
     step, state, batch, n_common, mesh = build_sharded_step(
-        n, loss=loss, steps=steps, accum=accum, scan_unroll=scan_unroll)
+        n, loss=loss, steps=steps, accum=accum, scan_unroll=scan_unroll,
+        mesh_shape=mesh_shape)
+    print(f"mesh: {dict(mesh.shape)}")
     t0 = time.perf_counter()
     compiled = step.lower(state, batch, n_common).compile()
     compile_s = time.perf_counter() - t0

@@ -334,3 +334,29 @@ def test_fsdp_step_matches_replicated():
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_ns_stack_divisibility_fallback_logs(caplog):
+    """When a mesh axis doesn't divide an NS stack, the guard degrades
+    parallelism — it must say so (VERDICT r4: no silent fallbacks)."""
+    import logging
+
+    from paradis_tpu.distributed import constrain_ns_batch, spatial_rules
+
+    mesh = create_mesh(data=8)
+
+    def f(x):
+        with spatial_rules(mesh):
+            return constrain_ns_batch(x)
+
+    with caplog.at_level(logging.INFO, logger="paradis_tpu"):
+        # stack of 6 matrices: 2 divides (via no axis here, data=8 doesn't),
+        # so nothing shards — the log line must fire at trace time
+        jax.jit(f).lower(jnp.zeros((6, 4, 4)))
+    assert any("NS stack" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="paradis_tpu"):
+        # stack of 16 divides the 8-way mesh: full sharding, no fallback line
+        jax.jit(f).lower(jnp.zeros((16, 4, 4)))
+    assert not any("NS stack" in r.message for r in caplog.records)
