@@ -23,7 +23,15 @@ per (channel-group × position-block):
   * matmul operands are bfloat16 under AMP (the MXU's native input format;
     fp32 dots decompose into multiple passes), accumulation always fp32;
   * a custom VJP regenerates weights once in the backward kernel and emits
-    ``d_field``, ``d_py``, ``d_px`` in a single pass.
+    ``d_field``, ``d_py``, ``d_px`` in a single pass;
+  * the position block is processed in statically-unrolled SUB-BLOCKS
+    (default ``pb/128``, ``_pick_pb_sub``): each sub-block's VPU weight
+    generation is dataflow-independent of the previous sub-block's MXU
+    dots, so Mosaic overlaps them, and the per-sub-block weight working set
+    is what VMEM must hold — which lets the position block itself grow
+    (128 → 1024 at 1.40625°), amortizing per-instance overhead.  Measured
+    v5e ladder (BASELINE.md round 5): 1.40625° step 1046 → 933 ms,
+    flagship 5.625° 29.6 → 31.6 samples/s.
 """
 
 from __future__ import annotations
@@ -290,18 +298,56 @@ def _chunk_rows(R: int, override) -> int:
     return 0
 
 
-def _n_sub(pb: int) -> int:
+def _n_sub(pb: int, default: int = 1) -> int:
     """Position sub-blocks per kernel instance (software-pipelining factor).
 
     ``PARADIS_INTERP_SUBBLOCK`` overrides (chip A/B knob).  Each sub-block
     must stay a 128-multiple of positions (full lanes); factors that don't
-    divide are rounded down.  Default 1 — flip only on a measured win.
+    divide are rounded down.
     """
     env = os.environ.get("PARADIS_INTERP_SUBBLOCK")
-    n = int(env) if env else 1
+    n = int(env) if env else default
     while n > 1 and (pb % n or (pb // n) % 128):
         n //= 2
     return max(n, 1)
+
+
+# Positions per sub-block under the sub-blocked default (one full MXU
+# N-tile).  Measured on v5e (BASELINE.md round-5 A/B ladder): sub-blocking
+# unlocks LARGER position blocks — the per-sub-block weight working set is
+# what VMEM must hold, so pb rises from 128 to 1024+ at 1.40625° — and each
+# gen(i+1) chain is independent of dots(i), recovering MXU/VPU overlap that
+# the monolithic gen-then-dot body serialized.
+_SP_TARGET = 128
+
+
+def _pick_pb_sub(P: int, vb: int, R: int, C: int, bwd: bool) -> tuple[int, int]:
+    """(position block, sub-block count) for the sub-blocked default path.
+
+    VMEM model: the weight/temp working set lives PER SUB-BLOCK
+    (``_SP_TARGET`` positions), while per-position outputs (positions,
+    cotangents) and the field/d_field blocks scale with the full ``pb``.
+    """
+    env = os.environ.get("PARADIS_INTERP_PB")
+    if env:
+        forced = int(env)
+        if forced > 0 and P % forced == 0:
+            return forced, _n_sub(forced, default=forced // _SP_TARGET)
+        import warnings
+
+        warnings.warn(f"PARADIS_INTERP_PB={env} ignored: must be a positive "
+                      f"divisor of P={P}; using the VMEM heuristic")
+    per_pos = vb * 4 * (int(1.5 * C) + 2 * R if not bwd
+                        else int(3.5 * C) + 3 * R)
+    out_pos = vb * 4 * (5 if bwd else 3)
+    fixed = vb * R * C * (10 if bwd else 2)
+    # measured caps (1.40625° ladder): bwd peaks at pb=1024 (pb=2048 reads
+    # 939 vs 933 ms); fwd at 2048
+    pb = min(P, 1024 if bwd else 2048)
+    while pb > 128 and (fixed + _SP_TARGET * per_pos + pb * out_pos
+                        > _VMEM_BUDGET or P % pb != 0):
+        pb //= 2
+    return pb, _n_sub(pb, default=pb // _SP_TARGET)
 
 
 def _pick_vb(V: int) -> int:
@@ -535,8 +581,8 @@ def _fwd_tv(field_t, py_t, px_t, mode, interpret, chunk_rows, band=None):
         kernel = functools.partial(_fwd_kernel_chunked, rw=rw)
         pb = _pick_pb(P, vb, R, C, bwd=False, rw=rw)
     else:
-        pb = _pick_pb(P, vb, R, C, bwd=False, rw=rw)
-        kernel = functools.partial(_fwd_kernel, n_sub=_n_sub(pb))
+        pb, ns = _pick_pb_sub(P, vb, R, C, bwd=False)
+        kernel = functools.partial(_fwd_kernel, n_sub=ns)
     grid = (B, V // vb, P // pb)
     return pl.pallas_call(
         functools.partial(kernel, mode=mode,
@@ -604,8 +650,8 @@ def _bwd_tv(field_t, py_t, px_t, g_t, mode, interpret, chunk_rows, band=None):
         kernel = functools.partial(_bwd_kernel_chunked, rw=rw)
         pb = _pick_pb(P, vb, R, C, bwd=True, rw=rw)
     else:
-        pb = _pick_pb(P, vb, R, C, bwd=True, rw=rw)
-        kernel = functools.partial(_bwd_kernel, n_sub=_n_sub(pb))
+        pb, ns = _pick_pb_sub(P, vb, R, C, bwd=True)
+        kernel = functools.partial(_bwd_kernel, n_sub=ns)
     # p is the innermost grid dim: the d_field output block is revisited
     # across p steps and accumulated in place
     grid = (B, V // vb, P // pb)
