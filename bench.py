@@ -27,6 +27,8 @@ import os
 # batch 1/device is the reference's training configuration (BASELINE.md);
 # PARADIS_BENCH_BATCH overrides for batch-scaling measurements
 BATCH = int(os.environ.get("PARADIS_BENCH_BATCH", "1"))
+# PARADIS_BENCH_STATS=1 turns on training.log_additional_stats (per-channel
+# diagnostics + grad-tree metrics) to measure the deep-stats step cost
 # PARADIS_BENCH_LOSS=amse measures the spectral-loss training mode
 # (reference utils/amse_loss.py:13-208, config training.loss_function.type)
 LOSS_KIND = os.environ.get("PARADIS_BENCH_LOSS", "reversed_huber")
@@ -53,6 +55,8 @@ def main() -> None:
 
     cfg, model, d = _flagship(tiny=False, training=True)
     cfg.training.optimizer.name = "normuon"
+    if os.environ.get("PARADIS_BENCH_STATS"):
+        cfg.training.log_additional_stats = True
 
     H, W = d["nlat"], d["nlon"]
     rng = np.random.default_rng(0)

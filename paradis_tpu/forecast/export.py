@@ -246,5 +246,10 @@ def load_artifact(artifact_dir) -> ServingModel:
                         if rollout_path.exists() else None)
     with np.load(art / _PARAMS_FILE) as npz:
         params = _unflatten_params({k: npz[k] for k in npz.files})
+    # Commit params to the device ONCE at load: ``Exported.call`` transfers
+    # host arrays on every invocation, and the flagship tree is ~240 MB — on
+    # the tunnel that re-transfer alone made an artifact-driven forecast
+    # 11.7x slower than the in-process rollout (BASELINE.md round-5 row).
+    params = jax.tree.map(jnp.asarray, params)
     manifest = json.loads((art / _MANIFEST_FILE).read_text())
     return ServingModel(exported, params, manifest, exported_rollout)
