@@ -64,38 +64,6 @@ def spatial_rules(mesh: Mesh | None):
         _SPATIAL_MESH.reset(token)
 
 
-def ns_batch_pad(n: int) -> int:
-    """Zero-matrix rows to append to an ``[n, r, c]`` NS stack so the mesh
-    can shard it further.
-
-    Zero matrices are Newton–Schulz-invariant (the gram stays block-
-    diagonal), so the optimizer may pad a stack that the mesh's axis sizes
-    don't divide instead of silently replicating it (the 16-device census
-    found flagship stacks of 9 and 25 matrices running 1-way).  The target
-    is the largest mesh-axis-prefix product whose padded stack stays within
-    2x the real rows — waste is bounded while per-device work strictly
-    shrinks.  0 when no mesh is active or padding can't improve the ways.
-    """
-    mesh = _SPATIAL_MESH.get()
-    if mesh is None or n < 2:
-        return 0
-    # ways achievable without padding (must mirror constrain_ns_batch)
-    cur = 1
-    for a in mesh.axis_names:
-        if mesh.shape[a] > 1 and n % (cur * mesh.shape[a]) == 0:
-            cur *= mesh.shape[a]
-    best_pad, best_ways = 0, cur
-    ways = 1
-    for a in mesh.axis_names:
-        if mesh.shape[a] <= 1:
-            continue
-        ways *= mesh.shape[a]
-        padded = -(-n // ways) * ways
-        if padded <= 2 * n and ways > best_ways:
-            best_pad, best_ways = padded - n, ways
-    return best_pad
-
-
 def constrain_ns_batch(x):
     """Shard a Newton–Schulz matrix stack ``[n, r, c]`` over the whole mesh.
 

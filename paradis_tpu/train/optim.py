@@ -30,10 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from paradis_tpu.distributed import (
-    constrain_ns_batch as _constrain_ns_batch,
-    ns_batch_pad as _ns_batch_pad,
-)
+from paradis_tpu.distributed import constrain_ns_batch as _constrain_ns_batch
 
 # Quintic Newton–Schulz coefficients (Jordan et al., Muon)
 _NS_COEFFS = (3.4445, -4.7750, 2.0315)
@@ -174,13 +171,15 @@ def _orthogonalize_tree(eff, ns_steps: int, ns_dtype=jnp.bfloat16):
             big = mats[0] if len(mats) == 1 else jnp.concatenate(mats, axis=0)
             # distributed NorMuon: under an active mesh (train-step trace,
             # distributed.spatial_rules) each device orthogonalizes its slice
-            # of the stack; identity otherwise.  Stacks the mesh's axis sizes
-            # don't divide are padded with zero matrices (NS-invariant) up to
-            # a shardable size instead of silently replicating (bounded
-            # waste, distributed.ns_batch_pad).
-            stack_pad = _ns_batch_pad(big.shape[0])
-            if stack_pad:
-                big = jnp.pad(big, ((0, stack_pad), (0, 0), (0, 0)))
+            # of the stack; identity otherwise.  DEAD END (round 5): padding
+            # non-divisible stacks with zero matrices (NS-invariant) to a
+            # shardable size reintroduced GSPMD "Involuntary full
+            # rematerialization" — the per-bucket result slices no longer
+            # align with shard boundaries, the exact padded-tiling reshard
+            # problem the divisibility guard exists to avoid (commit
+            # b797bf5; caught by tests/test_collective_census.py).  Stacks
+            # the mesh doesn't divide stay replicated, and
+            # distributed.constrain_ns_batch logs the degradation.
             big = _constrain_ns_batch(big)
             orth = newton_schulz_batched(big, steps=ns_steps, side=side,
                                          dtype=ns_dtype)
