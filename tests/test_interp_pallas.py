@@ -117,14 +117,22 @@ def test_subblock_parity(monkeypatch, mode, n_sub):
 
 def test_n_sub_lane_rounding(monkeypatch):
     """Sub-block factors that would break 128-lane alignment round down."""
-    from paradis_tpu.ops.interp_pallas import _n_sub
+    from paradis_tpu.ops.interp_pallas import _n_sub, _pick_pb_sub
 
     monkeypatch.setenv("PARADIS_INTERP_SUBBLOCK", "4")
     assert _n_sub(512) == 4
     assert _n_sub(256) == 2   # 4 would give 64-lane sub-blocks
     assert _n_sub(128) == 1
     monkeypatch.delenv("PARADIS_INTERP_SUBBLOCK")
-    assert _n_sub(2048) == 1  # default stays monolithic until a measured win
+    # bare _n_sub defaults monolithic; the measured sub-blocked default
+    # (sp=128, bwd pb cap 1024 / fwd 2048 — BASELINE.md round-5 ladder)
+    # comes from _pick_pb_sub
+    assert _n_sub(2048) == 1
+    monkeypatch.delenv("PARADIS_INTERP_PB", raising=False)
+    pb, ns = _pick_pb_sub(32768, 8, 132, 260, bwd=True)   # 1.40625° bwd
+    assert (pb, ns) == (1024, 8)
+    pb, ns = _pick_pb_sub(2048, 8, 36, 68, bwd=False)     # flagship fwd
+    assert (pb, ns) == (2048, 16)
 
 
 @pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
