@@ -6,6 +6,7 @@ fast one chip advances the atmosphere. Uses the two-chain-length slope like
 bench.py (the axon tunnel adds a ~33 ms constant fetch cost).
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_forecast.py
+       [--nlat 128 --nlon 256]   (1.40625° serving throughput)
 """
 
 from __future__ import annotations
@@ -24,8 +25,16 @@ CHAIN_SHORT, CHAIN_LONG = 2, 10
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nlat", type=int, default=None)
+    ap.add_argument("--nlon", type=int, default=None)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
+    import numpy as _np
 
     from __graft_entry__ import _flagship
     from paradis_tpu.forecast.rollout import make_forecast_rollout
@@ -35,6 +44,17 @@ def main():
     cfg.forecast.output_frequency = 1
 
     H, W = d["nlat"], d["nlon"]
+    if args.nlat:
+        # rebuild the model on the requested grid (e.g. 1.40625° = 128x256)
+        from paradis_tpu.model.paradis import Paradis
+
+        H, W = args.nlat, args.nlon
+        lat = _np.linspace(90, -90, H + 2)[1:-1]
+        lon = _np.arange(W) * (360.0 / W)
+        model = Paradis.from_config(cfg, input_dim=d["input_dim"],
+                                    output_dim=d["output_dim"],
+                                    lat_deg=lat, lon_deg=lon,
+                                    dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     batch = {
         "input": jnp.asarray(rng.normal(
